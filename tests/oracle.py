@@ -30,6 +30,10 @@ def enable_reference_imports() -> None:
         sys.modules["omegaconf"].listconfig = sys.modules["omegaconf.listconfig"]
     # decord is imported at module scope by cap4d/datasets/utils.py
     _stub_module("decord", VideoReader=None)
+    # pytorch_lightning is only a base class for the reference AutoencoderKL
+    import torch
+
+    _stub_module("pytorch_lightning", LightningModule=torch.nn.Module)
 
 
 class numpy_namespace_guard:
