@@ -1,0 +1,204 @@
+"""Stochastic I/O DDIM sampler — device-resident, mesh-sharded.
+
+Reference parity: cap4d/mmdm/sampler.py (StochasticIOSampler). Semantics kept:
+  * n_gen latents are denoised jointly over S DDIM steps; at each step the gen
+    set is shuffled into groups of G = V − R frames, each group co-attends with
+    R randomly chosen reference frames inside one V-view UNet call.
+  * CFG runs uncond+cond in one doubled batch; eps for the gen slots is
+    accumulated and ONE global DDIM x-update is applied per step, with the
+    update scalars computed in float64 (sampler.py:215-231).
+  * eta is accepted but — like the reference — no stochastic noise term is
+    added to the update (the reference omits it even for eta > 0).
+
+TPU-first redesign (SURVEY §2.4): the reference keeps all latents in host RAM
+(">64 GB" README warning) and hops them host↔device every step. Here the
+latent bank (n_gen·4·64² ≈ 55 MB fp32), eps accumulator, and conditioning
+banks live in HBM; one jitted step scans over rounds of `n_par` groups whose
+batch axis is sharded over the mesh's "dp" axis — groups are embarrassingly
+parallel, so the only collective is the tiny eps scatter back into the
+replicated bank. Host work per step is just the group-permutation RNG.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cap4d_tpu.mmdm.model import MMDM
+from cap4d_tpu.mmdm.schedule import make_ddim_sampling_parameters, make_ddim_timesteps
+
+
+def _shard(x, mesh: Optional[Mesh]):
+    if mesh is None:
+        return x
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P("dp")))
+
+
+class StochasticIOSampler:
+    """Multi-view stochastic I/O conditioning sampler over a device mesh."""
+
+    def __init__(
+        self,
+        model: MMDM,
+        mesh: Optional[Mesh] = None,
+        groups_per_device: int = 1,
+        cond_dtype=jnp.float32,
+    ):
+        self.model = model
+        self.mesh = mesh
+        self.n_devices = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
+        self.groups_per_device = groups_per_device
+        self.cond_dtype = cond_dtype
+        self._step_fn = None
+
+    # -- jitted per-step function ------------------------------------------
+
+    def _build_step(self, R: int, G: int, n_par: int):
+        model = self.model
+        mesh = self.mesh
+
+        def unet_round(params, banks, x_bank, ts, ref_idx, gen_idx, cfg_scale):
+            """One round: n_par groups through the UNet with CFG. Returns
+            (gen_idx, e_t) for the accumulator."""
+            ref_pe = banks["ref_pos_enc"][ref_idx]          # (n_par, R, H, W, C)
+            gen_pe = banks["gen_pos_enc"][gen_idx]          # (n_par, G, H, W, C)
+            pe = jnp.concatenate([ref_pe, gen_pe], axis=1).astype(jnp.float32)
+
+            ref_z = banks["ref_z"][ref_idx]                 # (n_par, R, h, w, 4)
+            x_T = x_bank[gen_idx]                           # (n_par, G, h, w, 4)
+            z_in = jnp.concatenate([ref_z, jnp.zeros_like(x_T)], axis=1)
+            x = jnp.concatenate([ref_z, x_T], axis=1)       # x_in: refs get z (sampler.py:190)
+
+            h, w = x.shape[2:4]
+            rmask = jnp.concatenate(
+                [jnp.ones((n_par, R, h, w, 1), x.dtype),
+                 jnp.zeros((n_par, G, h, w, 1), x.dtype)], axis=1)
+
+            V = R + G
+            # CFG doubled batch: rows 0..n_par-1 uncond (zero conditioning),
+            # rows n_par.. cond (sampler.py:183-191)
+            x2 = _shard(jnp.concatenate([x, x], axis=0), mesh)
+            cond2 = {
+                "pos_enc": _shard(jnp.concatenate([jnp.zeros_like(pe), pe], axis=0), mesh),
+                "z_input": _shard(jnp.concatenate([jnp.zeros_like(z_in), z_in], axis=0), mesh),
+                "ref_mask": _shard(jnp.concatenate([rmask, rmask], axis=0), mesh),
+            }
+            t2 = jnp.broadcast_to(ts[None, None], (2 * n_par, V)).astype(jnp.int32)
+            out = model.unet.apply({"params": params}, x2, t2, cond2)
+            e_uncond, e_cond = out[:n_par], out[n_par:]
+            e = e_uncond + cfg_scale * (e_cond - e_uncond)
+            return e[:, R:]                                  # gen slots only
+
+        def step(params, banks, x_bank, ts, ref_rounds, gen_rounds,
+                 cfg_scale, x_factor, e_factor):
+            """ref_rounds (n_rounds, n_par, R); gen_rounds (n_rounds, n_par, G)."""
+
+            def body(eps_acc, idx):
+                r_idx, g_idx = idx
+                e_t = unet_round(params, banks, x_bank, ts, r_idx, g_idx, cfg_scale)
+                eps_acc = eps_acc.at[g_idx.reshape(-1)].add(
+                    e_t.reshape(-1, *e_t.shape[2:]))
+                return eps_acc, None
+
+            eps0 = jnp.zeros_like(x_bank)
+            eps, _ = jax.lax.scan(body, eps0, (ref_rounds, gen_rounds))
+            return x_bank * x_factor + eps * e_factor
+
+        return jax.jit(step, donate_argnums=(2,))
+
+    # -- public API ---------------------------------------------------------
+
+    def sample(
+        self,
+        S: int,
+        ref_cond: Dict[str, np.ndarray],
+        gen_cond: Dict[str, np.ndarray],
+        V: int = 8,
+        R_max: int = 4,
+        cfg_scale: float = 1.0,
+        eta: float = 0.0,
+        seed: int = 124,
+        rng: Optional[jax.Array] = None,
+        verbose: bool = True,
+        progress_cb=None,
+    ) -> jnp.ndarray:
+        """Generate latents for every frame in gen_cond.
+
+        ref_cond/gen_cond: {"pos_enc": (N,H,W,C), "z_input": (N,h,w,4),
+        "ref_mask": (N,h,w,1)} banks from MMDM.prepare_conditioning.
+        Returns scaled latents (n_gen, h, w, 4).
+        """
+        sched = self.model.schedule
+        n_gen = gen_cond["pos_enc"].shape[0]
+        n_all_ref = ref_cond["pos_enc"].shape[0]
+        R = min(n_all_ref, R_max)
+        G = V - R
+        assert n_gen % G == 0, (
+            f"number of generated images ({n_gen}) has to be divisible by G ({G})"
+        )
+        n_groups = n_gen // G
+        n_par = min(self.n_devices * self.groups_per_device, n_groups)
+        while n_groups % n_par != 0:
+            n_par -= 1
+        n_rounds = n_groups // n_par
+
+        ddim_ts = make_ddim_timesteps(S, sched.num_timesteps)
+        sigmas, alphas, alphas_prev = make_ddim_sampling_parameters(
+            sched.alphas_cumprod, ddim_ts, eta
+        )
+
+        banks = {
+            "ref_pos_enc": jnp.asarray(ref_cond["pos_enc"], self.cond_dtype),
+            "ref_z": jnp.asarray(ref_cond["z_input"], jnp.float32),
+            "gen_pos_enc": jnp.asarray(gen_cond["pos_enc"], self.cond_dtype),
+        }
+
+        h = w = self.model.latent_size
+        rng = rng if rng is not None else jax.random.PRNGKey(seed)
+        x_bank = jax.random.normal(rng, (n_gen, h, w, self.model.unet.in_channels), jnp.float32)
+
+        host_rng = np.random.RandomState(seed)
+        step_fn = self._build_step(R, G, n_par)
+
+        if verbose:
+            print(
+                f"Stochastic I/O sampling: {S} steps, {R} refs, {n_gen} gen images, "
+                f"{n_groups} groups = {n_rounds} rounds × {n_par} parallel groups "
+                f"({self.n_devices} devices)"
+            )
+
+        time_range = np.flip(ddim_ts)
+        for i, step_t in enumerate(time_range):
+            index = S - i - 1
+            if R == 1:
+                ref_rounds = np.zeros((n_groups, R), np.int32)
+            else:
+                ref_rounds = np.stack(
+                    [host_rng.permutation(n_all_ref)[:R] for _ in range(n_groups)]
+                ).astype(np.int32)
+            gen_rounds = host_rng.permutation(n_gen).reshape(n_groups, G).astype(np.int32)
+            ref_rounds = ref_rounds.reshape(n_rounds, n_par, R)
+            gen_rounds = gen_rounds.reshape(n_rounds, n_par, G)
+
+            # DDIM update scalars in float64 (sampler.py:215-229)
+            a_t = np.float64(alphas[index])
+            a_prev = np.float64(alphas_prev[index])
+            sig = np.float64(sigmas[index])
+            sq1m = np.sqrt(1.0 - a_t)
+            e_factor = -np.sqrt(a_prev) * sq1m / np.sqrt(a_t) + np.sqrt(1.0 - a_prev - sig**2)
+            x_factor = np.sqrt(a_prev) / np.sqrt(a_t)
+
+            x_bank = step_fn(
+                self.model.unet_params, banks, x_bank,
+                jnp.int32(step_t), jnp.asarray(ref_rounds), jnp.asarray(gen_rounds),
+                jnp.float32(cfg_scale), jnp.float32(x_factor), jnp.float32(e_factor),
+            )
+            if progress_cb is not None:
+                progress_cb(i + 1, S)
+
+        return x_bank
