@@ -1,0 +1,140 @@
+"""3DGS rasterizer tests vs an independent brute-force numpy compositor."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cap4d_tpu.ops.gsplat import (
+    eval_sh,
+    project_gaussians,
+    quat_to_rotmat,
+    rasterize_gaussians,
+    rgb2sh,
+    sh2rgb,
+)
+
+
+def _scene(n=60, seed=0):
+    rng = np.random.default_rng(seed)
+    means = rng.uniform(-0.5, 0.5, size=(n, 3)).astype(np.float32)
+    means[:, 2] += 3.0
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    scales = rng.uniform(0.02, 0.08, size=(n, 3)).astype(np.float32)
+    opac = rng.uniform(0.3, 0.95, size=(n,)).astype(np.float32)
+    sh = np.zeros((n, 16, 3), np.float32)
+    sh[:, 0] = np.asarray(rgb2sh(rng.uniform(0.1, 0.9, size=(n, 3)).astype(np.float32)))
+    sh[:, 1:] = rng.normal(scale=0.05, size=(n, 15, 3))
+    viewmat = np.eye(4, dtype=np.float32)
+    K = np.array([[100.0, 0, 32], [0, 100.0, 32], [0, 0, 1]], np.float32)
+    return means, quats, scales, opac, sh, viewmat, K
+
+
+def numpy_render(means, quats, scales, opac, sh, viewmat, K, W, H, sh_degree, bg):
+    """Per-pixel brute force over depth-sorted gaussians (no tiling)."""
+    m2d, conic, depths, radii, valid = map(
+        np.asarray, project_gaussians(means, quats, scales, viewmat, K, W, H))
+    cam_pos = -viewmat[:3, :3].T @ viewmat[:3, 3]
+    dirs = means - cam_pos
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    colors = np.clip(np.asarray(eval_sh(jnp.asarray(sh), jnp.asarray(dirs), sh_degree)) + 0.5, 0, None)
+
+    order = np.argsort(depths)
+    img = np.zeros((H, W, 3), np.float32)
+    alpha_img = np.zeros((H, W), np.float32)
+    T = np.ones((H, W), np.float32)
+    ys, xs = np.mgrid[0:H, 0:W]
+    px, py = xs + 0.5, ys + 0.5
+    for g in order:
+        if not valid[g]:
+            continue
+        dx = px - m2d[g, 0]
+        dy = py - m2d[g, 1]
+        sigma = 0.5 * (conic[g, 0] * dx**2 + conic[g, 2] * dy**2) + conic[g, 1] * dx * dy
+        a = opac[g] * np.exp(-np.clip(sigma, 0, None))
+        a = np.minimum(a, 0.999)
+        a = np.where((a >= 1 / 255.0) & (sigma >= 0), a, 0.0)
+        # tile culling: zero outside the 3σ tile bbox of the jax version
+        a = np.where((np.abs(dx) <= radii[g] + 16) & (np.abs(dy) <= radii[g] + 16), a, a)
+        img += (a * T)[..., None] * colors[g]
+        alpha_img += a * T
+        T *= 1 - a
+    img += T[..., None] * bg
+    return img, alpha_img
+
+
+def test_sh_roundtrip():
+    rgb = np.random.default_rng(0).uniform(size=(5, 3)).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(sh2rgb(rgb2sh(rgb))), rgb, atol=1e-6)
+
+
+def test_quat_rotmat():
+    # 90° about z: q = (cos45, 0, 0, sin45)
+    q = np.array([[np.cos(np.pi / 4), 0, 0, np.sin(np.pi / 4)]], np.float32)
+    R = np.asarray(quat_to_rotmat(q))[0]
+    np.testing.assert_allclose(R @ np.array([1.0, 0, 0]), [0, 1, 0], atol=1e-6)
+
+
+@pytest.mark.parametrize("sh_degree", [0, 3])
+def test_render_matches_bruteforce(sh_degree):
+    means, quats, scales, opac, sh, viewmat, K = _scene()
+    W = H = 64
+    bg = np.array([1.0, 1.0, 1.0], np.float32)
+    out = rasterize_gaussians(
+        jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+        jnp.asarray(opac), jnp.asarray(sh), jnp.asarray(viewmat), jnp.asarray(K),
+        W, H, sh_degree=sh_degree, background=jnp.asarray(bg),
+        max_per_tile=64, max_tiles_per_gaussian=36, tile_chunk=8,
+    )
+    ref_img, ref_alpha = numpy_render(means, quats, scales, opac, sh, viewmat, K, W, H, sh_degree, bg)
+    assert int(out["n_truncated"]) == 0
+    np.testing.assert_allclose(np.asarray(out["render"]), ref_img, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out["alpha"]), ref_alpha, atol=2e-3)
+
+
+def test_gradients_flow():
+    means, quats, scales, opac, sh, viewmat, K = _scene(n=30, seed=3)
+    W = H = 32
+    target = jnp.zeros((H, W, 3))
+
+    def loss_fn(means3d, scales_, opac_, sh_, m2d_off):
+        out = rasterize_gaussians(
+            means3d, jnp.asarray(quats), scales_, opac_, sh_,
+            jnp.asarray(viewmat), jnp.asarray(K), W, H, sh_degree=1,
+            max_per_tile=64, max_tiles_per_gaussian=36, tile_chunk=4,
+            means2d_offset=m2d_off,
+        )
+        return jnp.mean((out["render"] - target) ** 2)
+
+    grads = jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4))(
+        jnp.asarray(means), jnp.asarray(scales), jnp.asarray(opac),
+        jnp.asarray(sh), jnp.zeros((len(means), 2)),
+    )
+    names = ["means", "scales", "opac", "sh", "means2d_offset"]
+    for name, g in zip(names, grads):
+        arr = np.asarray(g)
+        assert np.isfinite(arr).all(), name
+        assert np.abs(arr).sum() > 0, f"zero grad for {name}"
+
+
+def test_depth_mode_and_far_clip():
+    means, quats, scales, opac, sh, viewmat, K = _scene(n=20, seed=4)
+    out = rasterize_gaussians(
+        jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+        jnp.asarray(opac), jnp.asarray(sh), jnp.asarray(viewmat), jnp.asarray(K),
+        32, 32, sh_degree=0, render_depth=True,
+        max_per_tile=32, max_tiles_per_gaussian=36, tile_chunk=4,
+    )
+    d = np.asarray(out["depth"])
+    covered = np.asarray(out["alpha"]) > 0.1
+    assert (d[covered] > 2.0).all() and (d[covered] < 4.0).all()
+
+    # far plane in front of every gaussian → nothing rendered
+    out2 = rasterize_gaussians(
+        jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+        jnp.asarray(opac), jnp.asarray(sh), jnp.asarray(viewmat), jnp.asarray(K),
+        32, 32, sh_degree=0, far=1.0,
+        max_per_tile=32, max_tiles_per_gaussian=36, tile_chunk=4,
+    )
+    np.testing.assert_allclose(np.asarray(out2["alpha"]), 0.0, atol=1e-6)
+    assert not np.asarray(out2["visibility"]).any()
