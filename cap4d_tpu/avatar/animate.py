@@ -1,0 +1,184 @@
+"""Stage-3 CLI: animate a fitted avatar with a driving sequence + camera path.
+
+Reference parity: gaussianavatars/animate.py (render_sequence: config_dump +
+newest chkpnt, driving fit.npz + optional orbit trajectory, per-frame renders
+with optional alpha/depth, ffmpeg mp4 assembly, animated PLY export;
+render_static single-frame mode).
+"""
+
+from __future__ import annotations
+
+import argparse
+import pickle
+import subprocess
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from cap4d_tpu.avatar import gaussians as G
+from cap4d_tpu.avatar.export import PlyWriter
+from cap4d_tpu.avatar.scene import load_cap4d_dataset
+from cap4d_tpu.avatar.trainer import AvatarTrainer, search_max_iteration
+from cap4d_tpu.mmdm.model import load_yaml
+
+
+def frames_to_mp4(frame_dir: Path, out_path: Path, fps: int = 24) -> None:
+    """ffmpeg frames → mp4 (animate.py:55-74); skipped if ffmpeg is absent."""
+    cmd = [
+        "ffmpeg", "-y", "-framerate", str(fps),
+        "-pattern_type", "glob", "-i", str(frame_dir / "*.png"),
+        "-c:v", "libx264", "-pix_fmt", "yuv420p", str(out_path),
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        print(f"Wrote {out_path}")
+    except (FileNotFoundError, subprocess.CalledProcessError) as e:
+        print(f"WARNING: ffmpeg failed/unavailable ({e}); frames left in {frame_dir}")
+
+
+def load_trained_avatar(model_path: Path, flame_asset_dir: str,
+                        scene) -> AvatarTrainer:
+    config = load_yaml(Path(model_path) / "config_dump.yaml")
+    trainer = AvatarTrainer.create(
+        scene, config["model_params"], config["opt_params"],
+        flame_asset_dir=flame_asset_dir,
+    )
+    it, ckpt_path = search_max_iteration(model_path)
+    assert ckpt_path is not None, f"no chkpnt*.pth under {model_path}"
+    print(f"Loading checkpoint at iteration {it}")
+    with open(ckpt_path, "rb") as fh:
+        chkpt, _ = pickle.load(fh)
+    trainer.restore(chkpt)
+    return trainer
+
+
+def render_sequence(
+    model_path: str | Path,
+    animation_path: str | Path,
+    output_path: str | Path,
+    cam_trajectory_path: Optional[str | Path] = None,
+    flame_asset_dir: str = "data/assets/flame",
+    fps: int = 24,
+    save_alpha: bool = False,
+    save_depth: bool = False,
+    export_animation: bool = True,
+    compress_ply: bool = False,
+    n_max_frames: Optional[int] = None,
+):
+    """Drive the avatar through a target sequence (animate.py:77-171)."""
+    import cv2
+
+    model_path = Path(model_path)
+    output_path = Path(output_path)
+    frame_dir = output_path / "frames"
+    frame_dir.mkdir(parents=True, exist_ok=True)
+
+    scene = load_cap4d_dataset(
+        source_paths=None,
+        target_paths={
+            "animation_path": str(animation_path),
+            "cam_trajectory_path": str(cam_trajectory_path) if cam_trajectory_path else None,
+        },
+    )
+    trainer = load_trained_avatar(model_path, flame_asset_dir, scene)
+
+    writer = PlyWriter(compress=compress_ply) if export_animation else None
+    cams = scene.tgt_cameras
+    if n_max_frames:
+        cams = cams[:n_max_frames]
+
+    for i, cam in enumerate(cams):
+        out = trainer.render_camera(cam, cam.timestep, compute_depth=save_depth,
+                                    clip=True)
+        img = np.clip(np.asarray(out["render"]), 0, 1)
+        cv2.imwrite(str(frame_dir / f"{i:05d}.png"),
+                    (img[..., ::-1] * 255).astype(np.uint8))
+        if save_alpha:
+            cv2.imwrite(str(frame_dir / f"{i:05d}_alpha.png"),
+                        (np.asarray(out["alpha"]) * 255).astype(np.uint8))
+        if save_depth and out.get("depth") is not None:
+            np.save(frame_dir / f"{i:05d}_depth.npy", np.asarray(out["depth"]))
+        if writer is not None:
+            mesh = trainer.mesh_at_timestep(cam.timestep)
+            act = np.asarray(trainer.gauss_aux.active)  # export active slots only
+            writer.update(
+                np.asarray(mesh.verts), np.asarray(trainer.uv.remesh_faces),
+                {
+                    "xyz": np.asarray(trainer.gauss_params.xyz)[act],
+                    "features_dc": np.asarray(trainer.gauss_params.features_dc)[act],
+                    "features_rest": np.asarray(trainer.gauss_params.features_rest)[act],
+                    "opacity": np.asarray(trainer.gauss_params.opacity)[act],
+                    "scaling": np.asarray(trainer.gauss_params.scaling)[act],
+                    "rotation": np.asarray(trainer.gauss_params.rotation)[act],
+                    "binding": np.asarray(trainer.gauss_aux.binding)[act],
+                },
+            )
+        if (i + 1) % 10 == 0:
+            print(f"rendered {i + 1}/{len(cams)} frames")
+
+    if writer is not None:
+        writer.save_ply(output_path / "exported_animation.ply")
+        print(f"Wrote {output_path / 'exported_animation.ply'}")
+    frames_to_mp4(frame_dir, output_path / "renders.mp4", fps)
+
+
+def render_static(
+    model_path: str | Path,
+    animation_path: str | Path,
+    output_path: str | Path,
+    timestep: int = 0,
+    flame_asset_dir: str = "data/assets/flame",
+):
+    """Single-frame render (animate.py:174-222, fork addition)."""
+    import cv2
+
+    output_path = Path(output_path)
+    output_path.mkdir(parents=True, exist_ok=True)
+    scene = load_cap4d_dataset(
+        source_paths=None,
+        target_paths={"animation_path": str(animation_path), "cam_trajectory_path": None},
+    )
+    trainer = load_trained_avatar(Path(model_path), flame_asset_dir, scene)
+    cam = scene.tgt_cameras[timestep]
+    out = trainer.render_camera(cam, cam.timestep, clip=True)
+    img = np.clip(np.asarray(out["render"]), 0, 1)
+    path = output_path / f"static_{timestep:05d}.png"
+    cv2.imwrite(str(path), (img[..., ::-1] * 255).astype(np.uint8))
+    print(f"Wrote {path}")
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model_path", type=str, required=True)
+    parser.add_argument("--animation_path", type=str, required=True)
+    parser.add_argument("--output_path", type=str, required=True)
+    parser.add_argument("--cam_trajectory_path", type=str, default=None)
+    parser.add_argument("--flame_asset_dir", type=str, default="data/assets/flame")
+    parser.add_argument("--fps", type=int, default=24)
+    parser.add_argument("--save_alpha", action="store_true")
+    parser.add_argument("--save_depth", action="store_true")
+    parser.add_argument("--no_export_animation", action="store_true")
+    parser.add_argument("--compress_ply", action="store_true")
+    parser.add_argument("--static", type=int, default=None,
+                        help="render a single frame at this timestep")
+    args = parser.parse_args()
+
+    if args.static is not None:
+        render_static(args.model_path, args.animation_path, args.output_path,
+                      timestep=args.static, flame_asset_dir=args.flame_asset_dir)
+    else:
+        render_sequence(
+            args.model_path, args.animation_path, args.output_path,
+            cam_trajectory_path=args.cam_trajectory_path,
+            flame_asset_dir=args.flame_asset_dir, fps=args.fps,
+            save_alpha=args.save_alpha, save_depth=args.save_depth,
+            export_animation=not args.no_export_animation,
+            compress_ply=args.compress_ply,
+        )
+
+
+if __name__ == "__main__":
+    main()

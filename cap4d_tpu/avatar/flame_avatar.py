@@ -1,0 +1,279 @@
+"""CAP4D FLAME Gaussian avatar: UV remeshing, deformation net, mesh binding.
+
+Reference parity: gaussianavatars/scene/cap4d_gaussian_model.py:40-456
+(CAP4DGaussianModel): FLAME(150/65)+mouth(+lower-jaw) skinner; one-time UV
+rasterization of the template's UV layout → regular-grid remesh with
+area-proportional gaussian allocation; per-timestep FLAME forward (posed +
+neutral) → UV offset maps → pix2pix deform net → corrective deformation,
+masked to the deformable region; face frames for the bound gaussians; UV
+laplacian / relative deformation / relative rotation / neck regularizers.
+
+TPU-first: the whole per-timestep path (FLAME forward ×2, UV resampling,
+deform U-Net, face frames) is one pure jitted function `mesh_properties` that
+the trainer folds into its train step — no per-iteration host sync.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from cap4d_tpu.avatar.binding import (
+    compute_face_orientation,
+    rotmat_to_quat,
+    rotmat_to_rotvec,
+)
+from cap4d_tpu.avatar.deform_net import UnetGenerator, get_pos_enc
+from cap4d_tpu.flame.camera import rodrigues
+from cap4d_tpu.flame.skinner import FlameModel, flame_forward
+from cap4d_tpu.ops.rasterize import rasterize_meshes
+
+STD_DEFORM = 0.0108  # deformation normalisation (cap4d_gaussian_model.py:38)
+MAX_NECK_ROT = 0.15  # tanh clamp on relative neck rotation (:220-221)
+N_POS_ENC = 12
+
+
+def gen_uv_mesh(uv_mask: np.ndarray) -> np.ndarray:
+    """Regular-grid faces over valid texels (utils/mesh_utils.py:5-24).
+
+    uv_mask: (R, R) bool, row-major texels. Two triangles per grid cell whose
+    four texels are all valid."""
+    R = uv_mask.shape[0]
+    r, c = np.mgrid[0 : R - 1, 0 : R - 1]
+    p00 = r * R + c
+    p01 = (r + 1) * R + c
+    p10 = r * R + (c + 1)
+    p11 = (r + 1) * R + (c + 1)
+    tri1 = np.stack([p00, p01, p11], axis=-1).reshape(-1, 3)
+    tri2 = np.stack([p00, p11, p10], axis=-1).reshape(-1, 3)
+    faces = np.stack([tri1, tri2], axis=1).reshape(-1, 3)
+    flat = uv_mask.reshape(-1)
+    keep = flat[faces].min(axis=-1)
+    return faces[keep].astype(np.int32)
+
+
+@struct.dataclass
+class UVAssets:
+    """One-time UV rasterization products (load_uv, cap4d_gaussian_model.py:93-165)."""
+
+    pix_to_face: jnp.ndarray    # (R, R) int32 into template faces
+    bary: jnp.ndarray           # (R, R, 3)
+    uv_mask: jnp.ndarray        # (R, R) bool
+    deform_mask: jnp.ndarray    # (R, R) bool
+    remesh_faces: jnp.ndarray   # (Fr, 3) int32 into the R² texel-vertex grid
+    template_faces: jnp.ndarray # (Ft, 3) int32 into template verts
+    pos_enc: jnp.ndarray        # (R, R, 2·N_POS_ENC)
+
+    @property
+    def resolution(self) -> int:
+        return self.uv_mask.shape[0]
+
+
+def build_uv_assets(
+    template_verts: np.ndarray,    # (V, 3)
+    template_faces: np.ndarray,    # (Ft, 3)
+    template_uvs: np.ndarray,      # (Vt, 2) raw [0,1] uvs
+    faces_uv: np.ndarray,          # (Ft, 3) into uvs
+    deformable_vert_ids: np.ndarray,
+    uv_resolution: int,
+) -> UVAssets:
+    # uv → pytorch3d NDC: [0,1] → [-1,1], y negated (cap4d_gaussian_model.py:64-65)
+    uvs = template_uvs * 2.0 - 1.0
+    uvs[..., 1] = -uvs[..., 1]
+    uv_verts = np.concatenate([uvs, np.ones_like(uvs[:, :1])], axis=-1)
+
+    frag = rasterize_meshes(
+        jnp.asarray(uv_verts)[None], jnp.asarray(faces_uv.astype(np.int32)),
+        (uv_resolution, uv_resolution),
+    )
+    pix_to_face = np.asarray(frag.pix_to_face[0])
+    bary = np.asarray(frag.bary_coords[0])
+    uv_mask = pix_to_face >= 0
+    p2f = np.where(pix_to_face < 0, 0, pix_to_face)
+
+    vert_mask = np.zeros(template_verts.shape[0], np.float32)
+    vert_mask[deformable_vert_ids] = 1.0
+    deform_face = vert_mask[template_faces].min(axis=-1) > 0
+    deform_mask = deform_face[p2f] & uv_mask
+
+    remesh_faces = gen_uv_mesh(uv_mask)
+
+    return UVAssets(
+        pix_to_face=jnp.asarray(p2f.astype(np.int32)),
+        bary=jnp.asarray(bary),
+        uv_mask=jnp.asarray(uv_mask),
+        deform_mask=jnp.asarray(deform_mask),
+        remesh_faces=jnp.asarray(remesh_faces),
+        template_faces=jnp.asarray(template_faces.astype(np.int32)),
+        pos_enc=jnp.asarray(get_pos_enc(N_POS_ENC, uv_resolution)),
+    )
+
+
+def uv_resample(uv: UVAssets, verts: jnp.ndarray) -> jnp.ndarray:
+    """Resample per-vertex values onto the UV texel grid (R, R, D).
+
+    Equivalent of uv_remesh_flame_vertices (cap4d_gaussian_model.py:259-265)."""
+    face_vals = verts[uv.template_faces]  # (Ft, 3, D)
+    gathered = face_vals[uv.pix_to_face]  # (R, R, 3, D)
+    return jnp.einsum("hwk,hwkd->hwd", uv.bary, gathered) * uv.uv_mask[..., None]
+
+
+def allocate_gaussians(
+    uv: UVAssets, template_verts: jnp.ndarray,
+    n_gaussians_init: int, n_points_per_triangle: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Area-proportional per-face gaussian allocation over the remesh
+    (cap4d_gaussian_model.py:147-165). Returns (binding, gaussian_counts)."""
+    remesh_verts = np.asarray(uv_resample(uv, template_verts)).reshape(-1, 3)
+    tri = remesh_verts[np.asarray(uv.remesh_faces)]
+    area = 0.5 * np.linalg.norm(
+        np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0]), axis=-1)
+    per_face = np.round(n_gaussians_init / area.sum() * area).astype(np.int64)
+    per_face = np.clip(per_face, n_points_per_triangle, None)
+    binding = np.repeat(np.arange(len(per_face)), per_face)
+    counts = np.repeat(per_face, per_face).astype(np.float32)
+    return binding.astype(np.int32), counts
+
+
+class MeshProperties(NamedTuple):
+    face_center: jnp.ndarray          # (Fr, 3)
+    face_orient: jnp.ndarray          # (Fr, 3, 3)
+    face_quat: jnp.ndarray            # (Fr, 4)
+    face_scaling: jnp.ndarray         # (Fr, 1)
+    neutral_face_center: jnp.ndarray
+    neutral_face_orient: jnp.ndarray
+    neutral_face_scaling: jnp.ndarray
+    deform_output: jnp.ndarray        # (R, R, 3) — net deformation (unnormalised)
+    verts: jnp.ndarray                # (R·R, 3) deformed remesh verts (world)
+
+
+@struct.dataclass
+class FlameAvatarConfig:
+    uv_resolution: int = struct.field(pytree_node=False, default=256)
+    n_unet_layers: int = struct.field(pytree_node=False, default=6)
+    use_expr_mask: bool = struct.field(pytree_node=False, default=True)
+    static_neck: bool = struct.field(pytree_node=False, default=False)
+    use_lower_jaw: bool = struct.field(pytree_node=False, default=True)
+    n_gaussians_init: int = struct.field(pytree_node=False, default=100_000)
+    n_points_per_triangle: int = struct.field(pytree_node=False, default=2)
+    sh_degree: int = struct.field(pytree_node=False, default=1)
+    gaussian_init_type: str = struct.field(pytree_node=False, default="scaled")
+
+
+def make_deform_net(config: FlameAvatarConfig) -> UnetGenerator:
+    return UnetGenerator(out_channels=3, ngf=64, num_downs=config.n_unet_layers,
+                         zero_init_last=True)
+
+
+def relative_neck_rotation(
+    base_rot: jnp.ndarray,    # (3,) axis-angle of the canonical orientation
+    curr_rot: jnp.ndarray,    # (3,) this timestep's head rotation
+    neck_offset: jnp.ndarray, # (3,) learned per-frame correction (zeros if static)
+) -> jnp.ndarray:
+    """tanh-clamped relative neck rotation (cap4d_gaussian_model.py:214-228)."""
+    rel = jnp.swapaxes(rodrigues(curr_rot[None])[0], -1, -2) @ rodrigues(base_rot[None])[0]
+    rel_vec = rotmat_to_rotvec(rel)
+    rel_vec = jnp.tanh(rel_vec / MAX_NECK_ROT) * MAX_NECK_ROT
+    return rel_vec + neck_offset
+
+
+def mesh_properties(
+    flame_model: FlameModel,
+    uv: UVAssets,
+    deform_net: UnetGenerator,
+    deform_params,
+    shape: jnp.ndarray,          # (150,)
+    expr: jnp.ndarray,           # (65,)
+    rot: jnp.ndarray,            # (3,)
+    tra: jnp.ndarray,            # (3,)
+    eye_rot: jnp.ndarray,        # (3,)
+    neck_rot: jnp.ndarray,       # (3,) relative (already clamped + offset)
+    use_expr_mask: bool = True,
+) -> MeshProperties:
+    """select_mesh_by_timestep + update_mesh_properties as one pure function
+    (cap4d_gaussian_model.py:211-332)."""
+
+    def fwd(e, ey):
+        out = flame_forward(
+            flame_model, shape, e[None], rot[None], tra[None],
+            eye_rot=ey[None], neck_rot=neck_rot[None],
+        )
+        v = out["verts"][0]
+        # pytorch3d → opencv convention (y, z negated; :239-241)
+        return v * jnp.array([1.0, -1.0, -1.0])
+
+    verts = fwd(expr, eye_rot)
+    neutral_verts = fwd(expr * 0.0, eye_rot * 0.0)
+    offsets = verts - neutral_verts
+
+    remeshed_verts = uv_resample(uv, verts)                       # (R, R, 3)
+    remeshed_offsets = uv_resample(uv, offsets) / STD_DEFORM
+
+    # deform net on [offsets ⊕ pos_enc] and [zeros ⊕ pos_enc] (:267-285)
+    if use_expr_mask:
+        remeshed_offsets = remeshed_offsets * uv.uv_mask[..., None]
+    inp = jnp.concatenate(
+        [jnp.stack([jax.lax.stop_gradient(remeshed_offsets),
+                    jnp.zeros_like(remeshed_offsets)]),
+         jnp.broadcast_to(uv.pos_enc, (2, *uv.pos_enc.shape))], axis=-1)
+    out2 = deform_net.apply({"params": deform_params}, inp) * STD_DEFORM
+    deform_out, nodeform_out = out2[0], out2[1]
+    deform_out = jnp.where(uv.deform_mask[..., None], deform_out, nodeform_out)
+
+    R = uv.resolution
+    v_def = (remeshed_verts + deform_out).reshape(R * R, 3)
+    v_neu = (remeshed_verts + nodeform_out).reshape(R * R, 3)
+    faces = uv.remesh_faces
+
+    orient, scaling = compute_face_orientation(v_def, faces)
+    n_orient, n_scaling = compute_face_orientation(v_neu, faces)
+    center = jnp.mean(v_def[faces], axis=1)
+    n_center = jnp.mean(v_neu[faces], axis=1)
+
+    return MeshProperties(
+        face_center=center,
+        face_orient=orient,
+        face_quat=rotmat_to_quat(orient),
+        face_scaling=scaling,
+        neutral_face_center=n_center,
+        neutral_face_orient=n_orient,
+        neutral_face_scaling=n_scaling,
+        deform_output=deform_out,
+        verts=v_def,
+    )
+
+
+# ---------------- regularizers (cap4d_gaussian_model.py:334-379) ----------------
+
+
+def laplacian_loss(deform_output: jnp.ndarray) -> jnp.ndarray:
+    """4-neighbour laplacian of the deformation map, squared, channel-summed."""
+    d = deform_output / STD_DEFORM  # (R, R, 3)
+    lap = (4.0 * d[1:-1, 1:-1] - d[:-2, 1:-1] - d[2:, 1:-1]
+           - d[1:-1, :-2] - d[1:-1, 2:])
+    return jnp.mean(jnp.sum(lap**2, axis=-1))
+
+
+def relative_deformation_loss(xyz_world: jnp.ndarray, xyz_neutral: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean(jnp.sum(((xyz_neutral - xyz_world) / STD_DEFORM) ** 2, axis=1))
+
+
+def relative_rotation_loss(neutral_orient: jnp.ndarray, orient: jnp.ndarray) -> jnp.ndarray:
+    rel = jnp.swapaxes(neutral_orient, -1, -2) @ orient
+    vec = rotmat_to_rotvec(rel)
+    return jnp.mean(jnp.sum(vec**2, axis=-1))
+
+
+def load_avatar_template(asset_dir: str | Path):
+    """Avatar template obj + deformable vertex list (host)."""
+    from cap4d_tpu.ops.rasterize import load_obj
+
+    asset_dir = Path(asset_dir)
+    verts, faces, uvs, faces_uv = load_obj(asset_dir / "cap4d_avatar_template.obj")
+    deformable = np.genfromtxt(asset_dir / "deformable_verts.txt").astype(np.int64)
+    return verts, faces, uvs, faces_uv, deformable

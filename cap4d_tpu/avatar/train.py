@@ -1,0 +1,262 @@
+"""Stage-2 CLI: fit a rigged 3D Gaussian avatar to reference + generated images.
+
+Reference parity: gaussianavatars/train.py (CLI flags --source_paths
+--model_path --interval --config_path; loss schedule; SH warmup; densification
+cadence; eval report with L1/PSNR/SSIM/LPIPS on the held-out split; config
+provenance dump; chkpnt{iter} checkpoints).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import time
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from cap4d_tpu.avatar import gaussians as G
+from cap4d_tpu.avatar.losses import l1_loss, psnr, ssim
+from cap4d_tpu.avatar.lpips import load_lpips
+from cap4d_tpu.avatar.scene import dump_cameras_json, load_cap4d_dataset
+from cap4d_tpu.avatar.trainer import AvatarTrainer, expon_lr, search_max_iteration
+from cap4d_tpu.mmdm.model import load_yaml
+
+
+def training(
+    source_paths: List[str],
+    model_path: str | Path,
+    model_params: Dict,
+    opt_params: Dict,
+    testing_iterations: List[int],
+    checkpoint_iterations: List[int],
+    load_existing_checkpoint: bool = False,
+    flame_asset_dir: str | Path = "data/assets/flame",
+    lpips_weights: Optional[str] = None,
+    seed: int = 0,
+) -> AvatarTrainer:
+    model_path = Path(model_path)
+    model_path.mkdir(parents=True, exist_ok=True)
+    # config provenance dump, re-read by animate (train.py:386, animate.py:84)
+    import yaml
+
+    with open(model_path / "config_dump.yaml", "w") as fh:
+        yaml.safe_dump({"model_params": dict(model_params),
+                        "opt_params": dict(opt_params)}, fh)
+
+    scene = load_cap4d_dataset(source_paths)
+    dump_cameras_json(scene.train_cameras, model_path / "cameras.json")
+
+    lpips = load_lpips(lpips_weights)
+    trainer = AvatarTrainer.create(
+        scene, model_params, opt_params, flame_asset_dir=flame_asset_dir,
+        lpips=lpips, seed=seed,
+    )
+
+    first_iter = 0
+    if load_existing_checkpoint:
+        loaded_iter, path = search_max_iteration(model_path)
+        if loaded_iter is None:
+            print("WARNING: No valid checkpoint found in", model_path)
+        else:
+            import pickle
+
+            print(f"Loading trained model at iteration {loaded_iter}")
+            with open(path, "rb") as fh:
+                chkpt, first_iter = pickle.load(fh)
+            trainer.restore(chkpt)
+
+    rng = np.random.default_rng(seed)
+    jrng = jax.random.PRNGKey(seed)
+    cams = scene.train_cameras
+    order = rng.permutation(len(cams))
+    order_pos = 0
+
+    metrics_path = model_path / "metrics.jsonl"
+    metrics_fh = open(metrics_path, "a")
+    step_fns = {}
+    n_iter = opt_params["iterations"]
+    ema_loss = 0.0
+    adam_step = 0
+    t_start = time.perf_counter()
+
+    for iteration in range(first_iter + 1, n_iter + 1):
+        # SH warmup (train.py:120-121)
+        if iteration % opt_params["sh_warmup_iterations"] == 0:
+            trainer.active_sh_degree = min(
+                trainer.active_sh_degree + 1, trainer.config.sh_degree)
+
+        if order_pos >= len(order):
+            order = rng.permutation(len(cams))
+            order_pos = 0
+        cam = cams[order[order_pos]]
+        order_pos += 1
+
+        key = (cam.width, cam.height, trainer.active_sh_degree)
+        if key not in step_fns:
+            step_fns[key] = trainer._build_train_step(cam.width, cam.height,
+                                                      trainer.active_sh_degree)
+        step_fn = step_fns[key]
+
+        # scheduled lrs (cap4d_gaussian_model.py:426-441)
+        lrs = {
+            "xyz": expon_lr(iteration, opt_params["position_lr_init"],
+                            opt_params["position_lr_final"],
+                            lr_delay_mult=opt_params["position_lr_delay_mult"],
+                            max_steps=opt_params["position_lr_max_steps"]),
+            "deform": expon_lr(iteration, opt_params["deform_net_lr_init"],
+                               opt_params["deform_net_lr_final"],
+                               lr_delay_mult=opt_params["deform_net_lr_delay_mult"],
+                               max_steps=opt_params["deform_net_lr_max_steps"]),
+            "neck": expon_lr(iteration, opt_params["neck_lr_init"],
+                             opt_params["neck_lr_final"],
+                             lr_delay_mult=opt_params["neck_lr_delay_mult"],
+                             max_steps=opt_params["neck_lr_max_steps"]),
+        }
+        # LPIPS ramp (train.py:154-158)
+        lam_lpips = 0.0
+        if iteration > opt_params["lpips_linear_start"]:
+            lam_lpips = min(
+                (iteration - opt_params["lpips_linear_start"])
+                / (opt_params["lpips_linear_end"] - opt_params["lpips_linear_start"])
+                * opt_params["lambda_lpips_end"],
+                opt_params["lambda_lpips_end"])
+
+        gt = jnp.asarray(cam.image)
+        mask = jnp.asarray(cam.mask if cam.mask is not None
+                           else np.ones((cam.height, cam.width), np.float32))
+        cam_in = {"rt": jnp.asarray(cam.rt), "K": jnp.asarray(cam.intrinsics)}
+        adam_step += 1
+
+        (trainer.gauss_params, trainer.deform_params, trainer.neck_weight,
+         trainer.gauss_aux, trainer.moments, losses, _img) = step_fn(
+            trainer.gauss_params, trainer.deform_params, trainer.neck_weight,
+            trainer.gauss_aux, trainer.moments, trainer.flame_bank,
+            cam_in, gt, mask, jnp.asarray(cam.timestep),
+            {k: jnp.float32(v) for k, v in lrs.items()},
+            jnp.float32(lam_lpips), jnp.float32(adam_step),
+        )
+
+        # Densification (train.py:229-240)
+        if iteration < opt_params["densify_until_iter"]:
+            if (iteration > opt_params["densify_from_iter"]
+                    and iteration % opt_params["densification_interval"] == 0):
+                size_threshold = 20.0 if iteration > opt_params["opacity_reset_interval"] else None
+                jrng, drng = jax.random.split(jrng)
+                mesh = trainer.mesh_at_timestep(int(cam.timestep))
+                (trainer.gauss_params, trainer.gauss_aux, gmoments, n_dropped) = \
+                    G.densify_and_prune(
+                        trainer.gauss_params, trainer.gauss_aux,
+                        (trainer.moments["gauss_m"], trainer.moments["gauss_v"]),
+                        mesh.face_scaling, drng,
+                        max_grad=opt_params["densify_grad_threshold"],
+                        min_opacity=0.005, extent=1.0,
+                        percent_dense=opt_params["percent_dense"],
+                        max_screen_size=size_threshold,
+                    )
+                trainer.moments["gauss_m"], trainer.moments["gauss_v"] = gmoments
+                nd = int(n_dropped)
+                if nd:
+                    print(f"[ITER {iteration}] capacity full: dropped {nd} "
+                          "clone/split candidates")
+            if (iteration % opt_params["opacity_reset_interval"] == 0
+                    or iteration == opt_params["densify_from_iter"]):
+                trainer.gauss_params, gm = G.reset_opacity(
+                    trainer.gauss_params,
+                    (trainer.moments["gauss_m"], trainer.moments["gauss_v"]))
+                trainer.moments["gauss_m"], trainer.moments["gauss_v"] = gm
+
+        total = float(losses["total"])
+        ema_loss = 0.4 * total + 0.6 * ema_loss
+        metrics_fh.write(json.dumps(
+            {"iter": iteration, "loss": total,
+             **{k: float(v) for k, v in losses.items()}}) + "\n")
+        if iteration % 10 == 0:
+            n_active = int(trainer.gauss_aux.n_active)
+            elapsed = time.perf_counter() - t_start
+            print(f"[{iteration}/{n_iter}] loss={ema_loss:.5f} "
+                  f"gaussians={n_active} it/s={iteration / max(elapsed, 1e-9):.2f}")
+            metrics_fh.flush()
+
+        if iteration in testing_iterations:
+            evaluate(trainer, scene, iteration, metrics_fh)
+
+        if iteration in checkpoint_iterations or iteration == n_iter:
+            print(f"[ITER {iteration}] Saving Checkpoint")
+            trainer.save_checkpoint(model_path, iteration)
+        trainer.iteration = iteration
+
+    metrics_fh.close()
+    return trainer
+
+
+def evaluate(trainer: AvatarTrainer, scene, iteration: int, metrics_fh) -> None:
+    """Validation report: L1/PSNR/SSIM(/LPIPS) on the held-out split
+    (train.py:284-349)."""
+    for split, cameras in (("val", scene.val_cameras), ("test", scene.test_cameras)):
+        if not cameras:
+            continue
+        stats = {"l1": [], "psnr": [], "ssim": [], "lpips": []}
+        for cam in cameras[:10]:
+            out = trainer.render_camera(cam, int(cam.timestep))
+            img = jnp.clip(out["render"], 0, 1)
+            gt = jnp.asarray(cam.image)
+            if cam.mask is not None:
+                m = jnp.asarray(cam.mask)[..., None]
+                img, gt = img * m, gt * m
+            stats["l1"].append(float(l1_loss(img, gt)))
+            stats["psnr"].append(float(psnr(img, gt)))
+            stats["ssim"].append(float(ssim(img, gt)))
+            if trainer.lpips.available:
+                stats["lpips"].append(float(trainer.lpips(img, gt)))
+        msg = {f"{split}/{k}": float(np.mean(v)) for k, v in stats.items() if v}
+        print(f"[ITER {iteration}] {split}: " + " ".join(
+            f"{k.split('/')[1]}={v:.4f}" for k, v in msg.items()))
+        metrics_fh.write(json.dumps({"iter": iteration, **msg}) + "\n")
+        metrics_fh.flush()
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--source_paths", type=str, nargs="+", required=True)
+    parser.add_argument("--model_path", type=str, required=True)
+    parser.add_argument("--config_path", type=str, required=True)
+    parser.add_argument("--interval", type=int, default=2000,
+                        help="test/checkpoint interval")
+    parser.add_argument("--load_existing_checkpoint", action="store_true")
+    parser.add_argument("--flame_asset_dir", type=str, default="data/assets/flame")
+    parser.add_argument("--lpips_weights", type=str, default=None)
+    parser.add_argument("--detect_anomaly", action="store_true")
+    args = parser.parse_args()
+
+    if args.detect_anomaly:
+        jax.config.update("jax_debug_nans", True)
+
+    config = load_yaml(args.config_path)
+    model_path = Path(args.model_path)
+    model_path.mkdir(parents=True, exist_ok=True)
+
+    n_iter = config["opt_params"]["iterations"]
+    testing = list(range(args.interval, n_iter + 1, args.interval))
+    checkpoints = list(range(args.interval, n_iter + 1, args.interval)) + [n_iter]
+
+    training(
+        source_paths=args.source_paths,
+        model_path=model_path,
+        model_params=config["model_params"],
+        opt_params=config["opt_params"],
+        testing_iterations=testing,
+        checkpoint_iterations=checkpoints,
+        load_existing_checkpoint=args.load_existing_checkpoint,
+        flame_asset_dir=args.flame_asset_dir,
+        lpips_weights=args.lpips_weights,
+    )
+
+
+if __name__ == "__main__":
+    main()

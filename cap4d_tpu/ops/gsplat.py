@@ -165,6 +165,7 @@ def rasterize_gaussians(
     render_depth: bool = False,
     tile_chunk: int = 64,
     means2d_offset: Optional[jnp.ndarray] = None,  # (N, 2) zeros; grad = densify stats
+    mask: Optional[jnp.ndarray] = None,            # (N,) bool — exclude inactive slots
 ) -> Dict[str, jnp.ndarray]:
     n = means3d.shape[0]
     if background is None:
@@ -173,6 +174,9 @@ def rasterize_gaussians(
     means2d, conic, depths, radii, valid = project_gaussians(
         means3d, quats, scales, viewmat, K, width, height, near, far
     )
+    if mask is not None:
+        valid = valid & mask
+        radii = jnp.where(mask, radii, 0.0)
     if means2d_offset is not None:
         means2d = means2d + means2d_offset
 

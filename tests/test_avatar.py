@@ -1,0 +1,161 @@
+"""Avatar stage tests: binding math, UV machinery, densification, and a tiny
+end-to-end fit on synthetic data (the stage-1→stage-2 contract)."""
+
+import pickle
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from cap4d_tpu.avatar import gaussians as G
+from cap4d_tpu.avatar.binding import (
+    compute_face_orientation,
+    quat_multiply,
+    quat_normalize,
+    rotmat_to_quat,
+    rotmat_to_rotvec,
+)
+from cap4d_tpu.avatar.deform_net import UnetGenerator, get_pos_enc
+from cap4d_tpu.avatar.flame_avatar import gen_uv_mesh
+from cap4d_tpu.ops.gsplat import quat_to_rotmat
+
+from tests.oracle import enable_reference_imports
+
+enable_reference_imports()
+
+
+def test_face_orientation_matches_reference():
+    from gaussianavatars.utils.graphics_utils import compute_face_orientation as ref_cfo
+
+    rng = np.random.default_rng(0)
+    verts = rng.normal(size=(40, 3)).astype(np.float32)
+    faces = rng.integers(0, 40, size=(25, 3)).astype(np.int64)
+    orient, scale = compute_face_orientation(jnp.asarray(verts), jnp.asarray(faces))
+    with torch.no_grad():
+        r_orient, r_scale = ref_cfo(torch.tensor(verts), torch.tensor(faces),
+                                    return_scale=True)
+    np.testing.assert_allclose(np.asarray(orient), r_orient.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(scale), r_scale.numpy(), atol=1e-5)
+
+
+def test_quat_roundtrip_and_product():
+    rng = np.random.default_rng(1)
+    v = rng.normal(size=(50, 3)).astype(np.float32)
+    from cap4d_tpu.flame.camera import rodrigues
+
+    R = rodrigues(jnp.asarray(v))
+    q = rotmat_to_quat(R)
+    R2 = quat_to_rotmat(np.asarray(q))
+    np.testing.assert_allclose(np.asarray(R2), np.asarray(R), atol=1e-5)
+    # rotvec roundtrip
+    vec = rotmat_to_rotvec(R)
+    R3 = rodrigues(vec)
+    np.testing.assert_allclose(np.asarray(R3), np.asarray(R), atol=1e-5)
+    # product consistency: R(q1 q2) == R(q1) R(q2)
+    q1, q2 = np.asarray(q[:25]), np.asarray(q[25:])
+    Rq = quat_to_rotmat(np.asarray(quat_multiply(jnp.asarray(q1), jnp.asarray(q2))))
+    np.testing.assert_allclose(
+        np.asarray(Rq),
+        np.asarray(quat_to_rotmat(q1)) @ np.asarray(quat_to_rotmat(q2)), atol=1e-5)
+
+
+def test_gen_uv_mesh_grid():
+    mask = np.zeros((4, 4), bool)
+    mask[:3, :3] = True
+    faces = gen_uv_mesh(mask)
+    # 2x2 fully-valid cells → 8 triangles
+    assert faces.shape == (8, 3)
+    assert faces.max() < 16
+    flat = mask.reshape(-1)
+    assert flat[faces].all()
+
+
+def test_deform_net_shapes_and_zero_init():
+    net = UnetGenerator(out_channels=3, ngf=8, num_downs=5)
+    x = jnp.ones((2, 32, 32, 27))
+    params = net.init(jax.random.PRNGKey(0), x)["params"]
+    out = net.apply({"params": params}, x)
+    assert out.shape == (2, 32, 32, 3)
+    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)  # zero-init last layer
+    assert get_pos_enc(12, 32).shape == (32, 32, 24)
+
+
+def _tiny_gaussians(n0=6, capacity=12, n_faces=3):
+    binding = np.array([0, 0, 1, 1, 2, 2], np.int32)
+    return G.init_gaussians(binding, n_faces, capacity, sh_degree=1,
+                            gaussian_counts=np.full(n0, 2.0, np.float32))
+
+
+def test_densify_clone_and_prune():
+    params, aux = _tiny_gaussians()
+    moments = (jax.tree.map(jnp.zeros_like, params), jax.tree.map(jnp.zeros_like, params))
+    # force clone of gaussian 0 (small + high grad)
+    aux = aux.replace(
+        xyz_gradient_accum=jnp.asarray([1.0, 0, 0, 0, 0, 0] + [0] * 6),
+        denom=jnp.asarray([1.0] * 12),
+    )
+    face_scaling = jnp.ones((3, 1))
+    p2, a2, m2, dropped = G.densify_and_prune(
+        params, aux, moments, face_scaling, jax.random.PRNGKey(0),
+        max_grad=0.5, percent_dense=10.0,  # huge percent_dense → clone branch
+    )
+    assert int(dropped) == 0
+    assert int(a2.n_active) == 7  # one clone added
+    assert int(a2.binding_counter[0]) == 3
+    # cloned slot has same binding and position as source
+    new_slot = int(np.nonzero(np.asarray(a2.active) & ~np.asarray(aux.active))[0][0])
+    np.testing.assert_allclose(np.asarray(p2.xyz[new_slot]), np.asarray(params.xyz[0]))
+
+    # prune everything via opacity → each face must KEEP its gaussians
+    # when pruning would empty it (gaussian_model.py:373-380)
+    p3 = p2.replace(opacity=jnp.full_like(p2.opacity, -20.0))  # σ≈0
+    p4, a4, _, _ = G.densify_and_prune(
+        p3, a2, m2, face_scaling, jax.random.PRNGKey(1), max_grad=1e9)
+    assert int(a4.n_active) == int(a2.n_active)  # nothing pruned to zero faces
+
+
+def test_densify_split():
+    params, aux = _tiny_gaussians()
+    moments = (jax.tree.map(jnp.zeros_like, params), jax.tree.map(jnp.zeros_like, params))
+    aux = aux.replace(
+        xyz_gradient_accum=jnp.asarray([1.0] + [0] * 11),
+        denom=jnp.ones(12),
+    )
+    params = params.replace(scaling=params.scaling.at[0].set(jnp.log(5.0)))
+    p2, a2, _, dropped = G.densify_and_prune(
+        params, aux, moments, jnp.ones((3, 1)), jax.random.PRNGKey(0),
+        max_grad=0.5, percent_dense=0.01,  # large gaussian → split branch
+    )
+    assert int(dropped) == 0
+    assert int(a2.n_active) == 7  # split: child replaces source + 1 new
+    # both children have the reduced scale log(5/1.6)
+    new_slot = int(np.nonzero(np.asarray(a2.active) & ~np.asarray(aux.active))[0][0])
+    np.testing.assert_allclose(np.asarray(p2.scaling[0]), np.log(5.0 / 1.6), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(p2.scaling[new_slot]), np.log(5.0 / 1.6), rtol=1e-5)
+
+
+def test_reset_opacity():
+    params, aux = _tiny_gaussians()
+    moments = (jax.tree.map(jnp.zeros_like, params), jax.tree.map(jnp.zeros_like, params))
+    p2, m2 = G.reset_opacity(params, moments)
+    sig = jax.nn.sigmoid(p2.opacity)
+    assert np.all(np.asarray(sig) <= 0.01 + 1e-6)
+
+
+def test_world_gaussians_transform():
+    params, aux = _tiny_gaussians()
+    F = 3
+    center = jnp.asarray(np.random.default_rng(0).normal(size=(F, 3)).astype(np.float32))
+    orient = jnp.broadcast_to(jnp.eye(3), (F, 3, 3))
+    quat = jnp.broadcast_to(jnp.asarray([1.0, 0, 0, 0]), (F, 4))
+    scaling = jnp.full((F, 1), 2.0)
+    world = G.world_gaussians(params, aux, center, orient, quat, scaling)
+    np.testing.assert_allclose(
+        np.asarray(world["means3d"][:6]),
+        np.asarray(params.xyz[:6]) * 2.0 + np.asarray(center)[np.asarray(aux.binding[:6])],
+        atol=1e-5)
+    # inactive slots contribute zero opacity
+    assert np.all(np.asarray(world["opacities"][6:]) == 0)

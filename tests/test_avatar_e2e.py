@@ -1,0 +1,172 @@
+"""End-to-end avatar fitting + animation smoke test on synthetic data
+(mirrors scripts/test_pipeline.sh stages 2-3 at miniature scale)."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from tests.synthetic_assets import make_asset_dir, make_reference_dir
+
+RES = 64
+
+
+def _make_stage1_output(root: Path, flame_dir: Path, n_frames=4, seed=3):
+    """Craft a generated_images-style dir: flame/*.npz + images/*.png."""
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    out = root / "generated_images"
+    (out / "flame").mkdir(parents=True)
+    (out / "images").mkdir(parents=True)
+    for i in range(n_frames):
+        item = {
+            "shape": rng.normal(scale=0.3, size=(150,)).astype(np.float32),
+            "expr": rng.normal(scale=0.3, size=(1, 65)).astype(np.float32),
+            "rot": rng.normal(scale=0.05, size=(1, 3)).astype(np.float32),
+            "tra": np.zeros((1, 3), np.float32),
+            "eye_rot": np.zeros((1, 3), np.float32),
+            "fx": np.full((1, 1), 120.0, np.float32),
+            "fy": np.full((1, 1), 120.0, np.float32),
+            "cx": np.full((1, 1), RES / 2, np.float32),
+            "cy": np.full((1, 1), RES / 2, np.float32),
+            "extr": np.eye(4, dtype=np.float32)[None],
+            "resolutions": np.array([[RES, RES]], np.int64),
+            "crop_box": np.array([0, 0, RES, RES], np.int64),
+            "timestep_id": i,
+        }
+        item["extr"][0, 2, 3] = 1.2
+        np.savez(out / "flame" / f"{i:05d}.npz", **item)
+        img = rng.uniform(0, 255, size=(RES, RES, 3)).astype(np.uint8)
+        cv2.imwrite(str(out / "images" / f"{i:05d}.png"), img)
+    # shared shape across frames (the reference assumes one subject)
+    return out
+
+
+MODEL_PARAMS = dict(
+    n_unet_layers=5, n_points_per_triangle=1, use_lower_jaw=False,
+    static_neck=False, use_glasses=True, gaussian_init_type="scaled",
+    use_expr_mask=True, uv_resolution=32, n_gaussians_init=400, sh_degree=1,
+)
+OPT_PARAMS = dict(
+    iterations=8, sh_warmup_iterations=4, lambda_scale=1.0, threshold_scale=1.0,
+    lambda_xyz=1e-3, threshold_xyz=2.0, metric_xyz=False, metric_scale=False,
+    feature_lr=0.0025, opacity_lr=0.025, scaling_lr=0.005, rotation_lr=0.001,
+    percent_dense=0.01, lambda_dssim=0.5, densification_interval=3,
+    densify_grad_threshold=1e-6, opacity_reset_interval=6, densify_until_iter=7,
+    densify_from_iter=2, position_lr_init=5e-3, position_lr_final=5e-5,
+    position_lr_delay_mult=0.01, position_lr_max_steps=1000, w_lpips=0.1,
+    lambda_lpips_end=0.9, lpips_linear_start=100, lpips_linear_end=600,
+    deform_net_w_decay=2e-3, deform_net_lr_init=1e-5, deform_net_lr_final=1e-7,
+    deform_net_lr_delay_mult=0.01, deform_net_lr_max_steps=1000,
+    lambda_laplacian=1.0, lambda_relative_deform=0.4, lambda_relative_rot=0.005,
+    neck_lr_init=1e-5, neck_lr_final=1e-7, neck_lr_delay_mult=0.01,
+    neck_lr_max_steps=1000, lambda_neck=1.0,
+)
+
+
+@pytest.fixture(scope="module")
+def fitted(tmp_path_factory):
+    root = tmp_path_factory.mktemp("avatar_e2e")
+    flame_dir = make_asset_dir(root)
+    data_dir = _make_stage1_output(root, flame_dir)
+    model_path = root / "avatar"
+
+    from cap4d_tpu.avatar.train import training
+
+    trainer = training(
+        source_paths=[str(data_dir)],
+        model_path=model_path,
+        model_params=MODEL_PARAMS,
+        opt_params=OPT_PARAMS,
+        testing_iterations=[8],
+        checkpoint_iterations=[8],
+        flame_asset_dir=flame_dir,
+    )
+    return root, flame_dir, data_dir, model_path, trainer
+
+
+def test_training_ran_and_logged(fitted):
+    root, _, _, model_path, trainer = fitted
+    assert (model_path / "cameras.json").exists()
+    lines = [json.loads(l) for l in open(model_path / "metrics.jsonl")]
+    assert any("loss" in l for l in lines)
+    assert np.isfinite([l["loss"] for l in lines if "loss" in l]).all()
+    assert any("val/psnr" in l for l in lines)
+    assert (model_path / "chkpnt8.pth").exists()
+    assert int(trainer.gauss_aux.n_active) >= 400
+
+
+def test_render_and_checkpoint_roundtrip(fitted):
+    root, flame_dir, data_dir, model_path, trainer = fitted
+    from cap4d_tpu.avatar.scene import load_cap4d_dataset
+
+    scene = load_cap4d_dataset([str(data_dir)])
+    cam = scene.train_cameras[0]
+    out = trainer.render_camera(cam, cam.timestep)
+    img = np.asarray(out["render"])
+    assert img.shape == (RES, RES, 3)
+    assert np.isfinite(img).all()
+
+    # restore into a fresh trainer → identical render
+    import pickle
+
+    from cap4d_tpu.avatar.trainer import AvatarTrainer
+
+    t2 = AvatarTrainer.create(scene, MODEL_PARAMS, OPT_PARAMS,
+                              flame_asset_dir=flame_dir)
+    with open(model_path / "chkpnt8.pth", "rb") as fh:
+        chkpt, it = pickle.load(fh)
+    assert it == 8
+    t2.restore(chkpt)
+    out2 = t2.render_camera(cam, cam.timestep)
+    np.testing.assert_allclose(np.asarray(out2["render"]), img, atol=1e-5)
+
+
+def test_animate_sequence_and_ply_export(fitted):
+    root, flame_dir, data_dir, model_path, _ = fitted
+    # driving sequence: reuse the subject fit.npz contract
+    ref_dir = make_reference_dir(root, resolution=RES, n_timesteps=3, seed=9)
+    out_dir = root / "anim_out"
+
+    from cap4d_tpu.avatar.animate import render_sequence
+
+    render_sequence(
+        model_path, ref_dir / "fit.npz", out_dir,
+        flame_asset_dir=flame_dir, export_animation=True, compress_ply=True,
+        n_max_frames=2,
+    )
+    frames = sorted((out_dir / "frames").glob("*.png"))
+    assert len(frames) == 2
+    ply = out_dir / "exported_animation.ply"
+    assert ply.exists()
+
+    from cap4d_tpu.utils.plyio import read_ply
+
+    data = read_ply(ply)
+    assert {"faces", "base_vertex", "vertex"} <= set(data)
+    assert "delta_vertex_00000" in data and "delta_vertex_00001" in data
+    assert "meta_delta_min_00001" in data
+    assert data["delta_vertex_00000"].dtype["x"] == np.uint8  # compressed
+    assert "binding" in data["vertex"].dtype.names
+
+
+def test_gaussian_ply_roundtrip(fitted, tmp_path):
+    _, _, _, _, trainer = fitted
+    from cap4d_tpu.avatar.export import load_gaussian_ply, save_gaussian_ply
+
+    gp = trainer.gauss_params
+    active = np.asarray(trainer.gauss_aux.active)
+    path = tmp_path / "gaussians.ply"
+    save_gaussian_ply(
+        path,
+        np.asarray(gp.xyz)[active], np.asarray(gp.features_dc)[active],
+        np.asarray(gp.features_rest)[active], np.asarray(gp.opacity)[active],
+        np.asarray(gp.scaling)[active], np.asarray(gp.rotation)[active],
+        binding=np.asarray(trainer.gauss_aux.binding)[active],
+    )
+    loaded = load_gaussian_ply(path)
+    np.testing.assert_allclose(loaded["xyz"], np.asarray(gp.xyz)[active], atol=1e-6)
+    np.testing.assert_allclose(loaded["rotation"], np.asarray(gp.rotation)[active], atol=1e-6)
+    np.testing.assert_array_equal(loaded["binding"], np.asarray(trainer.gauss_aux.binding)[active])
