@@ -1,0 +1,103 @@
+"""SMPL full-body animation CLI (fork addition).
+
+Reference parity: animate_smpl.py — drives a fitted SMPL avatar with an
+animation npz produced by generate_animation.py / the CameraHMR merger.
+"""
+
+from __future__ import annotations
+
+import argparse
+import pickle
+from pathlib import Path
+
+import numpy as np
+
+from cap4d_tpu.avatar.animate import frames_to_mp4
+from cap4d_tpu.avatar.export import PlyWriter
+from cap4d_tpu.avatar.trainer import AvatarTrainer, search_max_iteration
+from cap4d_tpu.mmdm.model import load_yaml
+from cap4d_tpu.smpl.scene import load_smpl_dataset
+
+
+def render_sequence_smpl(
+    model_path: str | Path,
+    animation_path: str | Path,
+    output_path: str | Path,
+    smpl_asset_dir: str = "data/assets/smpl",
+    fps: int = 24,
+    export_animation: bool = True,
+    compress_ply: bool = False,
+    n_max_frames=None,
+):
+    import cv2
+
+    model_path = Path(model_path)
+    output_path = Path(output_path)
+    frame_dir = output_path / "frames"
+    frame_dir.mkdir(parents=True, exist_ok=True)
+
+    scene = load_smpl_dataset(None, target_animation_path=str(animation_path))
+    config = load_yaml(model_path / "config_dump.yaml")
+    trainer = AvatarTrainer.create_smpl(
+        scene, config["model_params"], config["opt_params"],
+        smpl_asset_dir=smpl_asset_dir,
+    )
+    it, ckpt_path = search_max_iteration(model_path)
+    assert ckpt_path is not None, f"no chkpnt*.pth under {model_path}"
+    print(f"Loading checkpoint at iteration {it}")
+    with open(ckpt_path, "rb") as fh:
+        chkpt, _ = pickle.load(fh)
+    trainer.restore(chkpt)
+
+    writer = PlyWriter(compress=compress_ply) if export_animation else None
+    cams = scene.tgt_cameras
+    if n_max_frames:
+        cams = cams[:n_max_frames]
+    for i, cam in enumerate(cams):
+        out = trainer.render_camera(cam, cam.timestep, clip=True)
+        img = np.clip(np.asarray(out["render"]), 0, 1)
+        cv2.imwrite(str(frame_dir / f"{i:05d}.png"),
+                    (img[..., ::-1] * 255).astype(np.uint8))
+        if writer is not None:
+            mesh = trainer.mesh_at_timestep(cam.timestep)
+            act = np.asarray(trainer.gauss_aux.active)
+            writer.update(
+                np.asarray(mesh.verts), np.asarray(trainer.uv.remesh_faces),
+                {
+                    "xyz": np.asarray(trainer.gauss_params.xyz)[act],
+                    "features_dc": np.asarray(trainer.gauss_params.features_dc)[act],
+                    "features_rest": np.asarray(trainer.gauss_params.features_rest)[act],
+                    "opacity": np.asarray(trainer.gauss_params.opacity)[act],
+                    "scaling": np.asarray(trainer.gauss_params.scaling)[act],
+                    "rotation": np.asarray(trainer.gauss_params.rotation)[act],
+                    "binding": np.asarray(trainer.gauss_aux.binding)[act],
+                },
+            )
+        if (i + 1) % 10 == 0:
+            print(f"rendered {i + 1}/{len(cams)} frames")
+
+    if writer is not None:
+        writer.save_ply(output_path / "exported_animation.ply")
+    frames_to_mp4(frame_dir, output_path / "renders.mp4", fps)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model_path", type=str, required=True)
+    parser.add_argument("--animation_path", type=str, required=True)
+    parser.add_argument("--output_path", type=str, required=True)
+    parser.add_argument("--smpl_asset_dir", type=str, default="data/assets/smpl")
+    parser.add_argument("--fps", type=int, default=24)
+    parser.add_argument("--no_export_animation", action="store_true")
+    parser.add_argument("--compress_ply", action="store_true")
+    args = parser.parse_args()
+    render_sequence_smpl(
+        args.model_path, args.animation_path, args.output_path,
+        smpl_asset_dir=args.smpl_asset_dir, fps=args.fps,
+        export_animation=not args.no_export_animation,
+        compress_ply=args.compress_ply,
+    )
+
+
+if __name__ == "__main__":
+    main()

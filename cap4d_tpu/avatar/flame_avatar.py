@@ -277,3 +277,35 @@ def load_avatar_template(asset_dir: str | Path):
     verts, faces, uvs, faces_uv = load_obj(asset_dir / "cap4d_avatar_template.obj")
     deformable = np.genfromtxt(asset_dir / "deformable_verts.txt").astype(np.int64)
     return verts, faces, uvs, faces_uv, deformable
+
+
+class FlameVariant:
+    """Per-timestep mesh-state provider for the generic avatar trainer."""
+
+    name = "flame"
+    uses_deform_net = True
+
+    def __init__(self, flame_model: FlameModel, uv: UVAssets, config: "FlameAvatarConfig"):
+        self.flame_model = flame_model
+        self.uv = uv
+        self.config = config
+
+    def build_bank(self, meshes, base_rot):
+        import numpy as np
+
+        return {
+            "shape": jnp.asarray(meshes[0]["shape"], jnp.float32),
+            "base_rot": jnp.asarray(np.asarray(base_rot), jnp.float32),
+            "expr": jnp.asarray(np.stack([m["expr"] for m in meshes]), jnp.float32),
+            "eye_rot": jnp.asarray(np.stack([m["eye_rot"] for m in meshes]), jnp.float32),
+            "rot": jnp.asarray(np.stack([m["rot"] for m in meshes]), jnp.float32),
+            "tra": jnp.asarray(np.stack([m["tra"] for m in meshes]), jnp.float32),
+        }
+
+    def mesh_props(self, deform_net, deform_params, bank, t, neck_offset) -> MeshProperties:
+        rel = relative_neck_rotation(bank["base_rot"], bank["rot"][t], neck_offset)
+        return mesh_properties(
+            self.flame_model, self.uv, deform_net, deform_params,
+            bank["shape"], bank["expr"][t], bank["rot"][t], bank["tra"][t],
+            bank["eye_rot"][t], rel, use_expr_mask=self.config.use_expr_mask,
+        )

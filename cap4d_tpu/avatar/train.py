@@ -39,6 +39,8 @@ def training(
     flame_asset_dir: str | Path = "data/assets/flame",
     lpips_weights: Optional[str] = None,
     seed: int = 0,
+    variant: str = "flame",
+    smpl_asset_dir: str | Path = "data/assets/smpl",
 ) -> AvatarTrainer:
     model_path = Path(model_path)
     model_path.mkdir(parents=True, exist_ok=True)
@@ -47,16 +49,28 @@ def training(
 
     with open(model_path / "config_dump.yaml", "w") as fh:
         yaml.safe_dump({"model_params": dict(model_params),
-                        "opt_params": dict(opt_params)}, fh)
+                        "opt_params": dict(opt_params),
+                        "variant": variant}, fh)
 
-    scene = load_cap4d_dataset(source_paths)
+    if variant == "smpl":
+        from cap4d_tpu.smpl.scene import load_smpl_dataset
+
+        scene = load_smpl_dataset(source_paths)
+    else:
+        scene = load_cap4d_dataset(source_paths)
     dump_cameras_json(scene.train_cameras, model_path / "cameras.json")
 
     lpips = load_lpips(lpips_weights)
-    trainer = AvatarTrainer.create(
-        scene, model_params, opt_params, flame_asset_dir=flame_asset_dir,
-        lpips=lpips, seed=seed,
-    )
+    if variant == "smpl":
+        trainer = AvatarTrainer.create_smpl(
+            scene, model_params, opt_params, smpl_asset_dir=smpl_asset_dir,
+            lpips=lpips, seed=seed,
+        )
+    else:
+        trainer = AvatarTrainer.create(
+            scene, model_params, opt_params, flame_asset_dir=flame_asset_dir,
+            lpips=lpips, seed=seed,
+        )
 
     first_iter = 0
     if load_existing_checkpoint:

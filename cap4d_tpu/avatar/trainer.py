@@ -29,6 +29,7 @@ from cap4d_tpu.avatar import gaussians as G
 from cap4d_tpu.avatar.binding import safe_norm
 from cap4d_tpu.avatar.flame_avatar import (
     FlameAvatarConfig,
+    FlameVariant,
     UVAssets,
     allocate_gaussians,
     build_uv_assets,
@@ -79,7 +80,7 @@ class TrainStepOut(NamedTuple):
 
 @dataclass
 class AvatarTrainer:
-    flame_model: FlameModel
+    variant: Any                         # FlameVariant | SMPLVariant
     uv: UVAssets
     config: FlameAvatarConfig
     opt: Dict[str, Any]                  # opt_params from the YAML
@@ -123,6 +124,7 @@ class AvatarTrainer:
         )
         tv, tf, tuv, tfuv, deformable = load_avatar_template(flame_asset_dir)
         uv = build_uv_assets(tv, tf, tuv, tfuv, deformable, config.uv_resolution)
+        variant = FlameVariant(flame_model, uv, config)
 
         binding, counts = allocate_gaussians(
             uv, jnp.asarray(tv), config.n_gaussians_init, config.n_points_per_triangle)
@@ -149,14 +151,7 @@ class AvatarTrainer:
                     else meshes[0]["rot"])
         meshes = meshes + scene.tgt_meshes
         T = len(meshes)
-        bank = {
-            "shape": jnp.asarray(meshes[0]["shape"], jnp.float32),
-            "base_rot": jnp.asarray(base_rot, jnp.float32),
-            "expr": jnp.asarray(np.stack([m["expr"] for m in meshes]), jnp.float32),
-            "eye_rot": jnp.asarray(np.stack([m["eye_rot"] for m in meshes]), jnp.float32),
-            "rot": jnp.asarray(np.stack([m["rot"] for m in meshes]), jnp.float32),
-            "tra": jnp.asarray(np.stack([m["tra"] for m in meshes]), jnp.float32),
-        }
+        bank = variant.build_bank(meshes, base_rot)
         neck = jnp.zeros((T, 3), jnp.float32)
 
         zeros_like_tree = lambda t: jax.tree.map(jnp.zeros_like, t)
@@ -167,7 +162,81 @@ class AvatarTrainer:
         }
 
         return cls(
-            flame_model=flame_model, uv=uv, config=config, opt=opt_params,
+            variant=variant, uv=uv, config=config, opt=opt_params,
+            gauss_params=gp, gauss_aux=ga, deform_params=deform_params,
+            neck_weight=neck, flame_bank=bank, moments=moments,
+            lpips=lpips or LPIPS(params=None),
+        )
+
+    @classmethod
+    def create_smpl(
+        cls,
+        scene: SceneInfo,
+        model_params: Dict[str, Any],
+        opt_params: Dict[str, Any],
+        smpl_asset_dir: str | Path = "data/assets/smpl",
+        capacity_factor: float = 2.0,
+        lpips: Optional[LPIPS] = None,
+        seed: int = 0,
+    ) -> "AvatarTrainer":
+        """SMPL full-body variant (SMPLGaussianModel, cap4d_gaussian_model.py:458+):
+        uv_resolution fixed at 256 in the reference, deform net gated off,
+        static neck."""
+        from cap4d_tpu.smpl.avatar import build_smpl_variant
+        from cap4d_tpu.smpl.model import build_smpl_model, load_smpl_pkl
+
+        config = FlameAvatarConfig(
+            uv_resolution=model_params.get("uv_resolution", 256),
+            n_unet_layers=model_params["n_unet_layers"],
+            use_expr_mask=model_params.get("use_expr_mask", False),
+            static_neck=model_params.get("static_neck", True),
+            use_lower_jaw=False,
+            n_gaussians_init=model_params["n_gaussians_init"],
+            n_points_per_triangle=model_params["n_points_per_triangle"],
+            sh_degree=model_params["sh_degree"],
+            gaussian_init_type=model_params.get("gaussian_init_type", "scaled"),
+        )
+        smpl_model = build_smpl_model(
+            load_smpl_pkl(Path(smpl_asset_dir) / "SMPL_NEUTRAL.pkl"))
+        variant = build_smpl_variant(smpl_model, smpl_asset_dir, config.uv_resolution)
+        uv = variant.uv
+
+        from cap4d_tpu.smpl.avatar import load_smpl_template
+
+        tv, *_ = load_smpl_template(smpl_asset_dir)
+        binding, counts = allocate_gaussians(
+            uv, jnp.asarray(tv), config.n_gaussians_init, config.n_points_per_triangle)
+        n_faces = uv.remesh_faces.shape[0]
+        capacity = int(len(binding) * capacity_factor)
+        gp, ga = G.init_gaussians(
+            binding, n_faces, capacity, sh_degree=config.sh_degree,
+            gaussian_counts=counts if config.gaussian_init_type == "scaled" else None,
+            rng=np.random.default_rng(seed),
+        )
+        print(f"SMPL avatar init: {len(binding)} gaussians over {n_faces} faces "
+              f"(capacity {capacity})")
+
+        deform_net = make_deform_net(config)
+        R = config.uv_resolution
+        deform_params = deform_net.init(
+            jax.random.PRNGKey(seed), jnp.zeros((2, R, R, 3 + 2 * 12)))["params"]
+
+        meshes = scene.train_meshes + scene.test_meshes
+        base_rot = (scene.tgt_meshes[0].get("rot", np.zeros(3)) if scene.tgt_meshes
+                    else meshes[0].get("rot", np.zeros(3)))
+        meshes = meshes + scene.tgt_meshes
+        bank = variant.build_bank(meshes, base_rot)
+        neck = jnp.zeros((len(meshes), 3), jnp.float32)
+
+        zeros_like_tree = lambda t: jax.tree.map(jnp.zeros_like, t)
+        moments = {
+            "gauss_m": zeros_like_tree(gp), "gauss_v": zeros_like_tree(gp),
+            "deform_m": zeros_like_tree(deform_params),
+            "deform_v": zeros_like_tree(deform_params),
+            "neck_m": jnp.zeros_like(neck), "neck_v": jnp.zeros_like(neck),
+        }
+        return cls(
+            variant=variant, uv=uv, config=config, opt=opt_params,
             gauss_params=gp, gauss_aux=ga, deform_params=deform_params,
             neck_weight=neck, flame_bank=bank, moments=moments,
             lpips=lpips or LPIPS(params=None),
@@ -182,12 +251,8 @@ class AvatarTrainer:
         bank = self.flame_bank
         t = jnp.asarray(timestep)
         offset = jnp.zeros(3) if self.config.static_neck else neck[t]
-        rel = relative_neck_rotation(bank["base_rot"], bank["rot"][t], offset)
-        return mesh_properties(
-            self.flame_model, self.uv, make_deform_net(self.config), deform_params,
-            bank["shape"], bank["expr"][t], bank["rot"][t], bank["tra"][t],
-            bank["eye_rot"][t], rel, use_expr_mask=self.config.use_expr_mask,
-        )
+        return self.variant.mesh_props(
+            make_deform_net(self.config), deform_params, bank, t, offset)
 
     # ------------------------------------------------------------- train step
 
@@ -195,7 +260,7 @@ class AvatarTrainer:
         cfg = self.config
         opt = self.opt
         uv = self.uv
-        flame_model = self.flame_model
+        variant = self.variant
         deform_net = make_deform_net(cfg)
         lpips = self.lpips
         static_neck = cfg.static_neck
@@ -208,12 +273,7 @@ class AvatarTrainer:
         def loss_fn(trainable, aux, bank, cam, gt_image, mask, t, lambda_lpips):
             gp, dp, neck = trainable["gauss"], trainable["deform"], trainable["neck"]
             offset = jnp.zeros(3) if static_neck else neck[t]
-            rel = relative_neck_rotation(bank["base_rot"], bank["rot"][t], offset)
-            mesh = mesh_properties(
-                flame_model, uv, deform_net, dp,
-                bank["shape"], bank["expr"][t], bank["rot"][t], bank["tra"][t],
-                bank["eye_rot"][t], rel, use_expr_mask=cfg.use_expr_mask,
-            )
+            mesh = variant.mesh_props(deform_net, dp, bank, t, offset)
             world = G.world_gaussians(gp, aux, mesh.face_center, mesh.face_orient,
                                       mesh.face_quat, mesh.face_scaling)
             m2d_zero = trainable["m2d"]
@@ -356,9 +416,13 @@ class AvatarTrainer:
     def capture(self) -> Dict[str, Any]:
         """Checkpoint contents (cap4d_gaussian_model.py:443-456)."""
         to_np = lambda t: jax.tree.map(np.asarray, t)
+        bank = {k: np.asarray(v) for k, v in self.flame_bank.items()}
         return {
-            "shape": np.asarray(self.flame_bank["shape"]),
-            "base_rot": np.asarray(self.flame_bank["base_rot"]),
+            # identity params for reenactment (cap4d_gaussian_model.py:443-450);
+            # SMPL banks carry betas instead of shape
+            "shape": bank.get("shape", bank.get("betas")),
+            "base_rot": bank["base_rot"],
+            "bank": bank,
             "deform_net": to_np(self.deform_params),
             "gaussians": {
                 "active_sh_degree": self.active_sh_degree,
@@ -376,7 +440,8 @@ class AvatarTrainer:
         return path
 
     def restore(self, chkpt: Dict[str, Any]) -> None:
-        self.flame_bank["shape"] = jnp.asarray(chkpt["shape"])
+        shape_key = "shape" if "shape" in self.flame_bank else "betas"
+        self.flame_bank[shape_key] = jnp.asarray(chkpt["shape"])
         self.flame_bank["base_rot"] = jnp.asarray(chkpt["base_rot"])
         self.deform_params = jax.tree.map(jnp.asarray, chkpt["deform_net"])
         g = chkpt["gaussians"]
