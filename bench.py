@@ -28,28 +28,31 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
+    from __graft_entry__ import _host_init_params
+
     unet = _unet(dtype=dtype)
     x, t, cond = _example_batch(B=2, V=8, lat=64)
-    params = unet.init(jax.random.PRNGKey(0), x, t, cond)["params"]
-    if on_tpu:
-        params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+    params = _host_init_params(unet, x, t, cond, dtype)
 
+    # params must be ARGUMENTS, not closure constants: closed-over params are
+    # embedded in the HLO as 1.6 GB of constants and make compilation explode
     @jax.jit
-    def denoise_group_step(x, t, cond):
+    def denoise_group_step(params, x, t, cond):
         out = unet.apply({"params": params}, x, t, cond)
         e_u, e_c = out[:1], out[1:]
         return e_u + 2.0 * (e_c - e_u)
 
-    # warmup / compile
-    denoise_group_step(x, t, cond).block_until_ready()
-    for _ in range(2):
-        denoise_group_step(x, t, cond).block_until_ready()
+    # warmup/compile. NOTE: on the axon platform block_until_ready() is
+    # effectively async — only a device→host fetch (np.asarray) synchronises
+    # with real execution, and the first fetch pays a ~2 min backend warmup.
+    np.asarray(denoise_group_step(params, x, t, cond))
+    np.asarray(denoise_group_step(params, x, t, cond))
 
     n_iters = 20 if on_tpu else 3
     start = time.perf_counter()
     for _ in range(n_iters):
-        out = denoise_group_step(x, t, cond)
-    out.block_until_ready()
+        out = denoise_group_step(params, x, t, cond)
+    np.asarray(out)  # fetch = true synchronisation
     elapsed = time.perf_counter() - start
 
     steps_per_sec = n_iters / elapsed
