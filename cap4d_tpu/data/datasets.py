@@ -131,6 +131,19 @@ def build_frame_set(
     out_crop = np.ones((n, 1, latent_res, latent_res), np.float32)
     images = np.zeros((n, resolution, resolution, 3), np.float32) if is_reference else None
 
+    # fast path: fused native decode+crop+resize on a worker pool (no bg-weight
+    # compositing — frames with a bg dir fall back to the python path)
+    prefetch = None
+    tickets: Dict[int, int] = {}
+    if is_reference and not any("bg_dir_path" in it for it in flame_items):
+        try:
+            from cap4d_tpu.runtime.loader import NativePrefetcher, native_available
+
+            if native_available():
+                prefetch = NativePrefetcher(n_threads=8)
+        except Exception:
+            prefetch = None
+
     for i, item in enumerate(flame_items):
         v2d = verts_2d_px[i].copy()
         crop_box = get_bbox_from_verts(v2d, head_vertex_ids)
@@ -146,17 +159,27 @@ def build_frame_set(
         if is_reference:
             img_dir = item.pop("img_dir_path")
             timestep_id = int(item["timestep_id"])
-            img = load_frame(img_dir, timestep_id)
-            if "bg_dir_path" in item:
-                bg = load_frame(item.pop("bg_dir_path"), timestep_id)
+            frame_path = None
+            if prefetch is not None and Path(img_dir).is_dir():
+                frames = sorted(Path(img_dir).glob("*.*"))
+                if timestep_id < len(frames):
+                    frame_path = frames[timestep_id]
+            if frame_path is not None:
+                tickets[i] = prefetch.submit(frame_path, crop_box, resolution)
+                ocm = np.ones((int(item["resolutions"].flatten()[0]),
+                               int(item["resolutions"].flatten()[1]), 1), np.float32)
             else:
-                bg = np.ones_like(img) * 255
-            ocm = np.ones_like(img[..., [0]], np.float32)
-            img = apply_bg(img, bg)
-            img = crop_image(img, crop_box, bg_value=255)
+                img = load_frame(img_dir, timestep_id)
+                if "bg_dir_path" in item:
+                    bg = load_frame(item.pop("bg_dir_path"), timestep_id)
+                else:
+                    bg = np.ones_like(img) * 255
+                ocm = np.ones_like(img[..., [0]], np.float32)
+                img = apply_bg(img, bg)
+                img = crop_image(img, crop_box, bg_value=255)
+                img = rescale_image(img, resolution)
+                images[i] = ((img / 127.5) - 1.0).astype(np.float32)
             ocm = crop_image(ocm, crop_box, bg_value=0)
-            img = rescale_image(img, resolution)
-            images[i] = ((img / 127.5) - 1.0).astype(np.float32)
             out_crop[i, 0] = rescale_image(ocm, latent_res)
 
         ray = load_camera_rays(crop_box, intr, extr, latent_res)
@@ -165,6 +188,11 @@ def build_frame_set(
         rays[i, 0] = ray
 
         verts_out[i, 0] = verts_to_pytorch3d(v2d, crop_box)
+
+    if prefetch is not None:
+        for i, ticket in tickets.items():
+            images[i] = prefetch.wait(ticket, resolution)
+        prefetch.close()
 
     ref_mask = np.full((n, 1, latent_res, latent_res), float(is_reference), np.float32)
     return FrameSet(
