@@ -80,6 +80,8 @@ def run_generation(
     allow_random_weights: bool = False,
     flame_asset_dir: str | Path = "data/assets/flame",
     dtype=jnp.bfloat16,
+    profile_dir: Optional[str] = None,
+    resume: bool = True,
 ) -> Dict[str, np.ndarray]:
     gen_config = load_yaml(config_path)
     out = Path(output_path)
@@ -154,16 +156,20 @@ def run_generation(
         mesh = Mesh(np.array(jax.devices()), ("dp",))
     sampler = StochasticIOSampler(model, mesh=mesh)
     rng, s_rng = jax.random.split(rng)
-    z_gen = sampler.sample(
-        S=int(gen_config["n_ddim_steps"]),
-        ref_cond=ref_cond,
-        gen_cond=gen_cond,
-        V=int(gen_config["V"]),
-        R_max=int(gen_config["R_max"]),
-        cfg_scale=float(gen_config["cfg_scale"]),
-        seed=seed,
-        rng=s_rng,
-    )
+    from cap4d_tpu.utils.logging import profile_trace
+
+    with profile_trace(profile_dir):
+        z_gen = sampler.sample(
+            S=int(gen_config["n_ddim_steps"]),
+            ref_cond=ref_cond,
+            gen_cond=gen_cond,
+            V=int(gen_config["V"]),
+            R_max=int(gen_config["R_max"]),
+            cfg_scale=float(gen_config["cfg_scale"]),
+            seed=seed,
+            rng=s_rng,
+            checkpoint_dir=str(out) if resume else None,
+        )
 
     print(f"Saving reference images to {out_ref}/images")
     save_images(model.decode_latents(jnp.asarray(ref_cond["z_input"])), out_ref)
@@ -184,6 +190,10 @@ def main():
     parser.add_argument("--visualize_conditioning", type=int, default=1)
     parser.add_argument("--allow_random_weights", type=int, default=0)
     parser.add_argument("--flame_asset_dir", type=str, default="data/assets/flame")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="write a jax.profiler trace of the sampling loop")
+    parser.add_argument("--no_resume", action="store_true",
+                        help="disable mid-run sampler checkpointing")
     args = parser.parse_args()
     run_generation(
         args.config_path,
@@ -192,6 +202,8 @@ def main():
         visualize_conditioning=bool(args.visualize_conditioning),
         allow_random_weights=bool(args.allow_random_weights),
         flame_asset_dir=args.flame_asset_dir,
+        profile_dir=args.profile_dir,
+        resume=not args.no_resume,
     )
 
 

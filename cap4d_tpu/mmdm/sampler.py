@@ -126,12 +126,19 @@ class StochasticIOSampler:
         rng: Optional[jax.Array] = None,
         verbose: bool = True,
         progress_cb=None,
+        checkpoint_dir: Optional[str] = None,
+        checkpoint_every: int = 10,
     ) -> jnp.ndarray:
         """Generate latents for every frame in gen_cond.
 
         ref_cond/gen_cond: {"pos_enc": (N,H,W,C), "z_input": (N,h,w,4),
         "ref_mask": (N,h,w,1)} banks from MMDM.prepare_conditioning.
         Returns scaled latents (n_gen, h, w, 4).
+
+        checkpoint_dir: when set, the latent bank + host RNG state are saved
+        every `checkpoint_every` steps and a crashed run resumes from the
+        newest snapshot (the reference loses ALL DDIM progress on a crash —
+        its latents live only in host RAM, cap4d/mmdm/sampler.py:112).
         """
         sched = self.model.schedule
         n_gen = gen_cond["pos_enc"].shape[0]
@@ -165,6 +172,24 @@ class StochasticIOSampler:
         host_rng = np.random.RandomState(seed)
         step_fn = self._build_step(R, G, n_par)
 
+        start_step = 0
+        ckpt_path = None
+        if checkpoint_dir is not None:
+            from pathlib import Path
+            import pickle
+
+            ckpt_path = Path(checkpoint_dir) / "sampler_checkpoint.pkl"
+            if ckpt_path.exists():
+                with open(ckpt_path, "rb") as fh:
+                    snap = pickle.load(fh)
+                if snap["n_gen"] == n_gen and snap["S"] == S and snap["seed"] == seed:
+                    x_bank = jnp.asarray(snap["x_bank"])
+                    host_rng.set_state(snap["rng_state"])
+                    start_step = snap["step"]
+                    print(f"Resuming stochastic I/O sampling from step {start_step}")
+                else:
+                    print("Ignoring incompatible sampler checkpoint")
+
         if verbose:
             print(
                 f"Stochastic I/O sampling: {S} steps, {R} refs, {n_gen} gen images, "
@@ -175,6 +200,8 @@ class StochasticIOSampler:
         time_range = np.flip(ddim_ts)
         for i, step_t in enumerate(time_range):
             index = S - i - 1
+            if i < start_step:
+                continue
             if R == 1:
                 ref_rounds = np.zeros((n_groups, R), np.int32)
             else:
@@ -200,5 +227,14 @@ class StochasticIOSampler:
             )
             if progress_cb is not None:
                 progress_cb(i + 1, S)
+            if ckpt_path is not None and ((i + 1) % checkpoint_every == 0 or i + 1 == S):
+                import pickle
+
+                tmp = ckpt_path.with_suffix(".tmp")
+                with open(tmp, "wb") as fh:
+                    pickle.dump({"x_bank": np.asarray(x_bank), "step": i + 1,
+                                 "rng_state": host_rng.get_state(),
+                                 "n_gen": n_gen, "S": S, "seed": seed}, fh)
+                tmp.replace(ckpt_path)
 
         return x_bank

@@ -128,3 +128,35 @@ def test_sampler_divisibility_assert():
             S=2, ref_cond=_banks(2, 1), gen_cond=_banks(9, 2),
             V=8, R_max=4, verbose=False,
         )
+
+
+def test_sampler_checkpoint_resume(tmp_path):
+    """Crash mid-sampling → resume reproduces the uninterrupted result."""
+    model = _fake_model()
+    ref_cond, gen_cond = _banks(4, 1), _banks(12, 2)
+    kwargs = dict(S=4, ref_cond=ref_cond, gen_cond=gen_cond, V=8, R_max=4,
+                  cfg_scale=2.0, seed=7, verbose=False)
+    rng = jax.random.PRNGKey(7)
+
+    full = np.asarray(StochasticIOSampler(model).sample(rng=rng, **kwargs))
+
+    # interrupted run: checkpoint every step, stop after 2 steps
+    ck = tmp_path / "ck"
+    ck.mkdir()
+
+    class Stop(Exception):
+        pass
+
+    def stop_at(step, total):
+        if step == 2:
+            raise Stop
+
+    with pytest.raises(Stop):
+        StochasticIOSampler(model).sample(
+            rng=rng, checkpoint_dir=str(ck), checkpoint_every=1,
+            progress_cb=stop_at, **kwargs)
+    assert (ck / "sampler_checkpoint.pkl").exists()
+
+    resumed = np.asarray(StochasticIOSampler(model).sample(
+        rng=rng, checkpoint_dir=str(ck), checkpoint_every=1, **kwargs))
+    np.testing.assert_allclose(resumed, full, atol=1e-6)
