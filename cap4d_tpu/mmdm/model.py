@@ -63,6 +63,7 @@ class MMDM:
         dtype=jnp.float32,
         rng: Optional[jax.Array] = None,
         attn_backend: str = "auto",
+        fused_norms: bool = True,
     ) -> "MMDM":
         """Build from a reference config_dump.yaml dict/path.
 
@@ -88,6 +89,7 @@ class MMDM:
             time_steps=up["time_steps"],
             temporal_mode=up.get("temporal_mode", "3d"),
             attn_backend=attn_backend,
+            fused_norms=fused_norms,
             dtype=dtype,
         )
         vae = AutoencoderKL(

@@ -44,19 +44,50 @@ def timestep_embedding(timesteps: jnp.ndarray, dim: int, max_period: float = 100
     return emb
 
 
+class _GNParams(nn.Module):
+    """Scale/bias holder named to keep the torch-converter param paths."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return scale, bias
+
+
 class GroupNorm32(nn.Module):
-    """GroupNorm computed in fp32 regardless of activation dtype."""
+    """GroupNorm computed in fp32 regardless of activation dtype.
+
+    fuse_silu folds the following SiLU into the op; when `fused` is set the
+    TPU Pallas kernel (ops/norms.py) handles eligible NHWC shapes."""
 
     num_groups: int = 32
     eps: float = 1e-5
+    fuse_silu: bool = False
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x):
         dt = x.dtype
-        out = nn.GroupNorm(
-            num_groups=self.num_groups, epsilon=self.eps,
-            dtype=jnp.float32, param_dtype=jnp.float32, name="gn",
-        )(x.astype(jnp.float32))
+        c = x.shape[-1]
+        scale, bias = _GNParams(features=c, name="gn")()
+        if self.fused and x.ndim == 4:
+            from cap4d_tpu.ops.norms import fused_group_norm_silu
+
+            return fused_group_norm_silu(
+                x, scale, bias, num_groups=self.num_groups, eps=self.eps,
+                apply_silu=self.fuse_silu).astype(dt)
+        xf = x.astype(jnp.float32)
+        lead = xf.shape[:-1]
+        xg = xf.reshape(*lead, self.num_groups, c // self.num_groups)
+        red_axes = tuple(range(1, xf.ndim - 1)) + (xf.ndim,)
+        mean = jnp.mean(xg, axis=red_axes, keepdims=True)
+        var = jnp.var(xg, axis=red_axes, keepdims=True)
+        out = ((xg - mean) * jax.lax.rsqrt(var + self.eps)).reshape(xf.shape)
+        out = out * scale + bias
+        if self.fuse_silu:
+            out = nn.silu(out)
         return out.astype(dt)
 
 
@@ -91,18 +122,17 @@ class ResBlock(nn.Module):
     """openaimodel.py:164-276 ResBlock (use_scale_shift_norm=False path)."""
 
     out_channels: int
+    fused_norms: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, emb):
         in_ch = x.shape[-1]
-        h = GroupNorm32(name="norm_in")(x)
-        h = nn.silu(h)
+        h = GroupNorm32(name="norm_in", fuse_silu=True, fused=self.fused_norms)(x)
         h = _conv(self.out_channels, name="conv_in", dtype=self.dtype)(h)
         emb_out = _dense(self.out_channels, name="emb_proj", dtype=self.dtype)(nn.silu(emb))
         h = h + emb_out[:, None, None, :].astype(h.dtype)
-        h = GroupNorm32(name="norm_out")(h)
-        h = nn.silu(h)
+        h = GroupNorm32(name="norm_out", fuse_silu=True, fused=self.fused_norms)(h)
         h = _conv(self.out_channels, name="conv_out", dtype=self.dtype, zero_init=True)(h)
         if in_ch != self.out_channels:
             x = _conv(self.out_channels, kernel=1, padding=0, name="skip", dtype=self.dtype)(x)
@@ -235,6 +265,7 @@ class MMDMUNet(nn.Module):
     time_steps: int = 8              # V — views jointly denoised
     temporal_mode: str = "3d"        # "3d" | "temporal"
     attn_backend: str = "auto"
+    fused_norms: bool = False        # TPU Pallas fused GroupNorm+SiLU
     dtype: jnp.dtype = jnp.float32
 
     def _attn_block(self, ch: int, name: str):
@@ -291,7 +322,8 @@ class MMDMUNet(nn.Module):
         for level, m in enumerate(mult):
             for _ in range(self.num_res_blocks):
                 ch = m * self.model_channels
-                h = ResBlock(ch, name=f"input_blocks_{block_idx}_0", dtype=self.dtype)(h, emb)
+                h = ResBlock(ch, name=f"input_blocks_{block_idx}_0", dtype=self.dtype,
+                             fused_norms=self.fused_norms)(h, emb)
                 if ds in self.attention_resolutions:
                     h = self._attn_block(ch, f"input_blocks_{block_idx}_1")(h)
                 hs.append(h)
@@ -305,9 +337,11 @@ class MMDMUNet(nn.Module):
                 ds *= 2
 
         # --- middle ---
-        h = ResBlock(ch, name="middle_block_0", dtype=self.dtype)(h, emb)
+        h = ResBlock(ch, name="middle_block_0", dtype=self.dtype,
+                     fused_norms=self.fused_norms)(h, emb)
         h = self._attn_block(ch, "middle_block_1")(h)
-        h = ResBlock(ch, name="middle_block_2", dtype=self.dtype)(h, emb)
+        h = ResBlock(ch, name="middle_block_2", dtype=self.dtype,
+                     fused_norms=self.fused_norms)(h, emb)
 
         # --- output blocks ---
         block_idx = 0
@@ -317,7 +351,8 @@ class MMDMUNet(nn.Module):
                 skip = hs.pop()
                 h = jnp.concatenate([h, skip], axis=-1)
                 ch = m * self.model_channels
-                h = ResBlock(ch, name=f"output_blocks_{block_idx}_0", dtype=self.dtype)(h, emb)
+                h = ResBlock(ch, name=f"output_blocks_{block_idx}_0", dtype=self.dtype,
+                             fused_norms=self.fused_norms)(h, emb)
                 sub = 1
                 if ds in self.attention_resolutions:
                     h = self._attn_block(ch, f"output_blocks_{block_idx}_{sub}")(h)
@@ -327,8 +362,7 @@ class MMDMUNet(nn.Module):
                     ds //= 2
                 block_idx += 1
 
-        h = GroupNorm32(name="out_norm")(h)
-        h = nn.silu(h)
+        h = GroupNorm32(name="out_norm", fuse_silu=True, fused=self.fused_norms)(h)
         h = _conv(self.out_channels, name="out_conv", zero_init=True, dtype=self.dtype)(h)
 
         h = h.astype(x.dtype).reshape(B, T, H, W, self.out_channels)

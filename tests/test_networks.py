@@ -150,3 +150,22 @@ def test_vae_parity():
 
     dec = model.apply({"params": params}, jnp.asarray(np.moveaxis(z, 1, -1)), method=model.decode)
     np.testing.assert_allclose(np.moveaxis(np.asarray(dec), -1, 1), ref_img, atol=2e-4)
+
+
+def test_fused_norms_parity():
+    """fused_norms UNet (CPU falls back to the jnp path) matches the default."""
+    rng = np.random.default_rng(5)
+    B, T, H, W = 1, 2, 16, 16
+    x = jnp.asarray(rng.normal(size=(B, T, H, W, 4)).astype(np.float32))
+    ts = jnp.asarray(rng.integers(0, 1000, size=(B, T)))
+    cond = {
+        "pos_enc": jnp.asarray(rng.normal(size=(B, T, H, W, 10)).astype(np.float32)),
+        "z_input": jnp.zeros((B, T, H, W, 4)),
+        "ref_mask": jnp.zeros((B, T, H, W, 1)),
+    }
+    m1 = MMDMUNet(temporal_mode="3d", attn_backend="einsum", fused_norms=False, **SMALL)
+    m2 = MMDMUNet(temporal_mode="3d", attn_backend="einsum", fused_norms=True, **SMALL)
+    params = m1.init(jax.random.PRNGKey(0), x, ts, cond)["params"]
+    o1 = m1.apply({"params": params}, x, ts, cond)
+    o2 = m2.apply({"params": params}, x, ts, cond)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-5)
