@@ -93,6 +93,7 @@ class AvatarTrainer:
     lpips: LPIPS
     active_sh_degree: int = 0
     iteration: int = 0
+    _render_fns: Dict = None
 
     # ------------------------------------------------------------------ build
 
@@ -103,7 +104,7 @@ class AvatarTrainer:
         model_params: Dict[str, Any],
         opt_params: Dict[str, Any],
         flame_asset_dir: str | Path = "data/assets/flame",
-        capacity_factor: float = 2.0,
+        capacity_factor: float = 1.6,
         lpips: Optional[LPIPS] = None,
         seed: int = 0,
     ) -> "AvatarTrainer":
@@ -175,7 +176,7 @@ class AvatarTrainer:
         model_params: Dict[str, Any],
         opt_params: Dict[str, Any],
         smpl_asset_dir: str | Path = "data/assets/smpl",
-        capacity_factor: float = 2.0,
+        capacity_factor: float = 1.6,
         lpips: Optional[LPIPS] = None,
         seed: int = 0,
     ) -> "AvatarTrainer":
@@ -267,7 +268,7 @@ class AvatarTrainer:
 
         raster = partial(
             rasterize_gaussians, width=width, height=height, sh_degree=sh_degree,
-            max_per_tile=256, max_tiles_per_gaussian=16, tile_chunk=64,
+            max_per_tile=192, max_tiles_per_gaussian=9, tile_chunk=64,
         )
 
         def loss_fn(trainable, aux, bank, cam, gt_image, mask, t, lambda_lpips):
@@ -388,28 +389,47 @@ class AvatarTrainer:
 
     def render_camera(self, cam, timestep: int, sh_degree: Optional[int] = None,
                       compute_depth: bool = False, clip: bool = False):
-        """Inference render of one camera (gsplat_renderer.py:20-86)."""
-        mesh = self.mesh_at_timestep(timestep)
-        world = G.world_gaussians(
-            self.gauss_params, self.gauss_aux, mesh.face_center,
-            mesh.face_orient, mesh.face_quat, mesh.face_scaling)
+        """Inference render of one camera (gsplat_renderer.py:20-86).
+
+        The whole path (FLAME→deform→frames→splatting) is one cached jit per
+        (resolution, sh degree, depth) signature."""
         far = 1e3
         if clip:
+            mesh = self.mesh_at_timestep(timestep)
             verts = mesh.verts
             center = (verts.max(axis=0) + verts.min(axis=0)) / 2.0
             cam_center = np.linalg.inv(np.asarray(cam.rt))[:3, 3]
             far = float(np.linalg.norm(np.asarray(center) - cam_center) + 0.025)
-        out = rasterize_gaussians(
-            world["means3d"], world["quats"], world["scales"],
-            world["opacities"], world["sh"],
-            jnp.asarray(cam.rt), jnp.asarray(cam.intrinsics),
-            cam.width, cam.height,
-            sh_degree=self.active_sh_degree if sh_degree is None else sh_degree,
-            far=far, render_depth=compute_depth,
-            max_per_tile=256, max_tiles_per_gaussian=16,
-            mask=self.gauss_aux.active,
-        )
-        return out
+        sh_deg = self.active_sh_degree if sh_degree is None else sh_degree
+        if self._render_fns is None:
+            object.__setattr__(self, "_render_fns", {})
+        key = (cam.width, cam.height, sh_deg, compute_depth)
+        if key not in self._render_fns:
+            variant = self.variant
+            cfg = self.config
+            deform_net = make_deform_net(cfg)
+            static_neck = cfg.static_neck
+
+            def fn(gp, aux, dp, neck, bank, rt, K, t, far):
+                offset = jnp.zeros(3) if static_neck else neck[t]
+                mesh = variant.mesh_props(deform_net, dp, bank, t, offset)
+                world = G.world_gaussians(gp, aux, mesh.face_center,
+                                          mesh.face_orient, mesh.face_quat,
+                                          mesh.face_scaling)
+                return rasterize_gaussians(
+                    world["means3d"], world["quats"], world["scales"],
+                    world["opacities"], world["sh"], rt, K,
+                    cam.width, cam.height, sh_degree=sh_deg, far=far,
+                    render_depth=compute_depth,
+                    max_per_tile=192, max_tiles_per_gaussian=9,
+                    mask=aux.active,
+                )
+
+            self._render_fns[key] = jax.jit(fn)
+        return self._render_fns[key](
+            self.gauss_params, self.gauss_aux, self.deform_params,
+            self.neck_weight, self.flame_bank, jnp.asarray(cam.rt),
+            jnp.asarray(cam.intrinsics), jnp.asarray(timestep), jnp.float32(far))
 
     # ------------------------------------------------------------ checkpoints
 

@@ -222,9 +222,7 @@ def rasterize_gaussians(
     gauss_idx = jnp.broadcast_to(
         jnp.arange(n, dtype=jnp.int32)[:, None, None], key.shape
     ).reshape(-1)
-    order = jnp.argsort(key_flat)
-    sorted_key = key_flat[order]
-    sorted_gauss = gauss_idx[order]
+    sorted_key, sorted_gauss = jax.lax.sort_key_val(key_flat, gauss_idx)
     sorted_tile = (sorted_key // (n + 1)).astype(jnp.int32)
 
     # per-tile segment starts → first max_per_tile entries per tile
