@@ -176,8 +176,12 @@ def training(
                 trainer.moments["gauss_m"], trainer.moments["gauss_v"] = gmoments
                 nd = int(n_dropped)
                 if nd:
-                    print(f"[ITER {iteration}] capacity full: dropped {nd} "
-                          "clone/split candidates")
+                    # grow the padded store and recompile the step functions
+                    cap = trainer.gauss_params.xyz.shape[0]
+                    trainer.grow_capacity(int(cap * 1.5))
+                    step_fns.clear()
+                    print(f"[ITER {iteration}] capacity grew after dropping "
+                          f"{nd} clone/split candidates (recompile)")
             if (iteration % opt_params["opacity_reset_interval"] == 0
                     or iteration == opt_params["densify_from_iter"]):
                 trainer.gauss_params, gm = G.reset_opacity(

@@ -243,6 +243,51 @@ class AvatarTrainer:
             lpips=lpips or LPIPS(params=None),
         )
 
+    def grow_capacity(self, new_capacity: int) -> None:
+        """Enlarge the padded gaussian store (recompile boundary).
+
+        The store starts tight (capacity_factor 1.6) because binning/sort cost
+        scales with the PADDED length; when densification runs out of free
+        slots (n_dropped > 0) the trainer grows and the step functions
+        recompile once."""
+        C = self.gauss_params.xyz.shape[0]
+        assert new_capacity > C
+        pad = new_capacity - C
+
+        def pad_arr(a, fill=0.0):
+            shape = (pad,) + a.shape[1:]
+            return jnp.concatenate([a, jnp.full(shape, fill, a.dtype)], axis=0)
+
+        gp = self.gauss_params
+        self.gauss_params = G.GaussianParams(
+            xyz=pad_arr(gp.xyz),
+            features_dc=pad_arr(gp.features_dc),
+            features_rest=pad_arr(gp.features_rest),
+            scaling=pad_arr(gp.scaling),
+            rotation=jnp.concatenate(
+                [gp.rotation,
+                 jnp.tile(jnp.asarray([1.0, 0, 0, 0], gp.rotation.dtype), (pad, 1))]),
+            opacity=pad_arr(gp.opacity),
+        )
+        aux = self.gauss_aux
+        self.gauss_aux = G.GaussianAux(
+            active=pad_arr(aux.active, False),
+            binding=pad_arr(aux.binding),
+            binding_counter=aux.binding_counter,
+            max_radii2d=pad_arr(aux.max_radii2d),
+            xyz_gradient_accum=pad_arr(aux.xyz_gradient_accum),
+            denom=pad_arr(aux.denom),
+        )
+        for key in ("gauss_m", "gauss_v"):
+            m = self.moments[key]
+            self.moments[key] = G.GaussianParams(
+                **{f: pad_arr(getattr(m, f)) for f in
+                   ("xyz", "features_dc", "features_rest", "scaling",
+                    "rotation", "opacity")})
+        if self._render_fns:
+            self._render_fns.clear()
+        print(f"Grew gaussian capacity {C} -> {new_capacity}")
+
     # ------------------------------------------------------------- mesh state
 
     def mesh_at_timestep(self, timestep: int, params=None, neck_weight=None):

@@ -159,3 +159,28 @@ def test_world_gaussians_transform():
         atol=1e-5)
     # inactive slots contribute zero opacity
     assert np.all(np.asarray(world["opacities"][6:]) == 0)
+
+
+def test_grow_capacity(tmp_path):
+    """Capacity growth preserves state and unlocks further densification."""
+    import types
+    from cap4d_tpu.avatar.trainer import AvatarTrainer
+    from cap4d_tpu.avatar.lpips import LPIPS
+
+    params, aux = _tiny_gaussians()
+    moments = {"gauss_m": jax.tree.map(jnp.zeros_like, params),
+               "gauss_v": jax.tree.map(jnp.zeros_like, params),
+               "deform_m": {}, "deform_v": {},
+               "neck_m": jnp.zeros((1, 3)), "neck_v": jnp.zeros((1, 3))}
+    tr = AvatarTrainer(
+        variant=None, uv=None, config=None, opt={}, gauss_params=params,
+        gauss_aux=aux, deform_params={}, neck_weight=jnp.zeros((1, 3)),
+        flame_bank={}, moments=moments, lpips=LPIPS(params=None))
+    xyz_before = np.asarray(params.xyz)
+    tr.grow_capacity(20)
+    assert tr.gauss_params.xyz.shape[0] == 20
+    assert tr.gauss_aux.active.shape[0] == 20
+    assert int(tr.gauss_aux.n_active) == int(aux.n_active)
+    np.testing.assert_allclose(np.asarray(tr.gauss_params.xyz[:12]), xyz_before)
+    # padded rotations stay valid unit quats
+    np.testing.assert_allclose(np.asarray(tr.gauss_params.rotation[12:, 0]), 1.0)
