@@ -241,6 +241,16 @@ def rasterize_gaussians(
     tile_gauss = jnp.where(in_seg, sorted_gauss[gather_pos], 0)  # (n_tiles, K)
 
     # ---- compositing ----
+    # one packed per-gaussian row so each tile does a SINGLE gather
+    # (five separate gathers measurably dominate the forward on TPU)
+    packed = jnp.concatenate([
+        means2d,                      # 0:2
+        conic,                        # 2:5
+        opacities[:, None],           # 5
+        colors,                       # 6:9
+        depths[:, None],              # 9
+    ], axis=-1)                        # (N, 10)
+
     px_in_tile = tile * tile
     ty_pix = jax.lax.broadcasted_iota(jnp.float32, (tile, tile), 0)
     tx_pix = jax.lax.broadcasted_iota(jnp.float32, (tile, tile), 1)
@@ -259,11 +269,12 @@ def rasterize_gaussians(
         px = ox[:, None] + tx_pix.reshape(-1)[None] + 0.5                      # (C, P)
         py = oy[:, None] + ty_pix.reshape(-1)[None] + 0.5
 
-        c_means = means2d[g]       # (C, K, 2)
-        c_conic = conic[g]         # (C, K, 3)
-        c_opac = opacities[g]      # (C, K)
-        c_color = colors[g]        # (C, K, 3)
-        c_depth = depths[g]        # (C, K)
+        data = packed[g]           # (C, K, 10) — single gather
+        c_means = data[..., 0:2]
+        c_conic = data[..., 2:5]
+        c_opac = data[..., 5]
+        c_color = data[..., 6:9]
+        c_depth = data[..., 9]
 
         dx = px[:, None, :] - c_means[..., 0:1]                                # (C, K, P)
         dy = py[:, None, :] - c_means[..., 1:2]
