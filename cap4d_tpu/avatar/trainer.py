@@ -73,11 +73,6 @@ def adam_update(p, g, m, v, step, lr, eps=1e-15, b1=0.9, b2=0.999, wd=0.0):
     return p - lr * mhat / (jnp.sqrt(vhat) + eps), m, v
 
 
-class TrainStepOut(NamedTuple):
-    losses: Dict[str, jnp.ndarray]
-    image: jnp.ndarray
-
-
 @dataclass
 class AvatarTrainer:
     variant: Any                         # FlameVariant | SMPLVariant
@@ -305,7 +300,6 @@ class AvatarTrainer:
     def _build_train_step(self, width: int, height: int, sh_degree: int):
         cfg = self.config
         opt = self.opt
-        uv = self.uv
         variant = self.variant
         deform_net = make_deform_net(cfg)
         lpips = self.lpips

@@ -28,7 +28,6 @@ from cap4d_tpu.data.datasets import (
     make_generation_items,
 )
 from cap4d_tpu.flame.compute import load_cap4d_flame_model
-from cap4d_tpu.mmdm.conditioning import conditioning_forward
 from cap4d_tpu.mmdm.model import MMDM, load_yaml
 from cap4d_tpu.mmdm.sampler import StochasticIOSampler
 

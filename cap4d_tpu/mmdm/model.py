@@ -128,20 +128,37 @@ class MMDM:
             image_size=mp["image_size"],
         )
 
-        rng = rng if rng is not None else jax.random.PRNGKey(0)
         lat = mp["image_size"]
         V = mp["n_frames"]
-        k1, k2 = jax.random.split(rng)
         dummy_cond = {
             "pos_enc": jnp.zeros((1, V, lat, lat, up["condition_channels"])),
             "z_input": jnp.zeros((1, V, lat, lat, up["in_channels"])),
             "ref_mask": jnp.zeros((1, V, lat, lat, 1)),
         }
-        unet_params = unet.init(
-            k1, jnp.zeros((1, V, lat, lat, up["in_channels"])),
-            jnp.zeros((1, V), jnp.int32), dummy_cond,
-        )["params"]
-        vae_params = vae.init(k2, jnp.zeros((1, 8 * lat, 8 * lat, dd["in_channels"])))["params"]
+        # shape-only init: materialising ~800M params via device init is very
+        # slow on tunneled TPUs, and when a checkpoint is given only the tree
+        # STRUCTURE is needed
+        unet_shapes = jax.eval_shape(
+            lambda: unet.init(jax.random.PRNGKey(0),
+                              jnp.zeros((1, V, lat, lat, up["in_channels"])),
+                              jnp.zeros((1, V), jnp.int32), dummy_cond))["params"]
+        vae_shapes = jax.eval_shape(
+            lambda: vae.init(jax.random.PRNGKey(0),
+                             jnp.zeros((1, 8 * lat, 8 * lat, dd["in_channels"]))))["params"]
+        host_rng = np.random.default_rng(0)
+
+        def host_init(shapes):
+            def mk(s):
+                # zero-init biases/norm-offsets, small-normal everything else
+                if len(s.shape) <= 1:
+                    base = np.zeros(s.shape, np.float32)
+                else:
+                    base = host_rng.normal(scale=0.02, size=s.shape).astype(np.float32)
+                return jnp.asarray(base, s.dtype if s.dtype != jnp.float32 else jnp.float32)
+            return jax.tree.map(mk, shapes)
+
+        unet_params = host_init(unet_shapes)
+        vae_params = host_init(vae_shapes)
 
         if ckpt_path is not None:
             from cap4d_tpu.mmdm.convert import load_mmdm_checkpoint

@@ -31,7 +31,6 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh
 
-from cap4d_tpu.mmdm.conditioning import conditioning_forward
 from cap4d_tpu.mmdm.model import MMDM, load_yaml
 from cap4d_tpu.mmdm.training import (
     TrainState,
