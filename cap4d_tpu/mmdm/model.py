@@ -64,6 +64,7 @@ class MMDM:
         rng: Optional[jax.Array] = None,
         attn_backend: str = "auto",
         fused_norms: bool = True,
+        remat: bool = False,
     ) -> "MMDM":
         """Build from a reference config_dump.yaml dict/path.
 
@@ -90,6 +91,7 @@ class MMDM:
             temporal_mode=up.get("temporal_mode", "3d"),
             attn_backend=attn_backend,
             fused_norms=fused_norms,
+            remat=remat,
             dtype=dtype,
         )
         vae = AutoencoderKL(

@@ -134,7 +134,8 @@ def train_mmdm(
     out.mkdir(parents=True, exist_ok=True)
 
     model = MMDM.from_config(config_path if "model" in config else config,
-                             flame_asset_dir=flame_asset_dir, dtype=dtype)
+                             flame_asset_dir=flame_asset_dir, dtype=dtype,
+                             remat=True)
     lr = float(config.get("learning_rate", 1e-4))
     accum = int(config.get("virtual_batch_size", 64)) // int(config.get("gpu_batch_size", 1))
     batch = int(config.get("gpu_batch_size", 1))

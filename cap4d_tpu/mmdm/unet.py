@@ -266,6 +266,7 @@ class MMDMUNet(nn.Module):
     temporal_mode: str = "3d"        # "3d" | "temporal"
     attn_backend: str = "auto"
     fused_norms: bool = False        # TPU Pallas fused GroupNorm+SiLU
+    remat: bool = False              # checkpoint each block (training memory)
     dtype: jnp.dtype = jnp.float32
 
     def _attn_block(self, ch: int, name: str):
@@ -273,7 +274,8 @@ class MMDMUNet(nn.Module):
             conn = "temporal"
         else:  # "3d" only at mult ≥ 2 (mmdm_unet.py:49-55)
             conn = "3d" if ch >= 2 * self.model_channels else "none"
-        return SpatioTemporalTransformer(
+        cls = nn.remat(SpatioTemporalTransformer) if self.remat else SpatioTemporalTransformer
+        return cls(
             heads=ch // self.num_head_channels,
             dim_head=self.num_head_channels,
             temporal_connection_type=conn,
@@ -311,6 +313,7 @@ class MMDMUNet(nn.Module):
         n_levels = len(mult)
         hs = []
         ds = 1
+        ResBlockM = nn.remat(ResBlock) if self.remat else ResBlock
 
         # --- input blocks ---
         h = _conv(self.model_channels, name="input_blocks_0_0", dtype=self.dtype)(h)
@@ -322,7 +325,7 @@ class MMDMUNet(nn.Module):
         for level, m in enumerate(mult):
             for _ in range(self.num_res_blocks):
                 ch = m * self.model_channels
-                h = ResBlock(ch, name=f"input_blocks_{block_idx}_0", dtype=self.dtype,
+                h = ResBlockM(ch, name=f"input_blocks_{block_idx}_0", dtype=self.dtype,
                              fused_norms=self.fused_norms)(h, emb)
                 if ds in self.attention_resolutions:
                     h = self._attn_block(ch, f"input_blocks_{block_idx}_1")(h)
@@ -337,10 +340,10 @@ class MMDMUNet(nn.Module):
                 ds *= 2
 
         # --- middle ---
-        h = ResBlock(ch, name="middle_block_0", dtype=self.dtype,
+        h = ResBlockM(ch, name="middle_block_0", dtype=self.dtype,
                      fused_norms=self.fused_norms)(h, emb)
         h = self._attn_block(ch, "middle_block_1")(h)
-        h = ResBlock(ch, name="middle_block_2", dtype=self.dtype,
+        h = ResBlockM(ch, name="middle_block_2", dtype=self.dtype,
                      fused_norms=self.fused_norms)(h, emb)
 
         # --- output blocks ---
@@ -351,7 +354,7 @@ class MMDMUNet(nn.Module):
                 skip = hs.pop()
                 h = jnp.concatenate([h, skip], axis=-1)
                 ch = m * self.model_channels
-                h = ResBlock(ch, name=f"output_blocks_{block_idx}_0", dtype=self.dtype,
+                h = ResBlockM(ch, name=f"output_blocks_{block_idx}_0", dtype=self.dtype,
                              fused_norms=self.fused_norms)(h, emb)
                 sub = 1
                 if ds in self.attention_resolutions:

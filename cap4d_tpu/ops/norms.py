@@ -50,33 +50,20 @@ def _gn_silu_kernel(x_ref, scale_ref, bias_ref, o_ref, *, num_groups: int,
     o_ref[0] = out.astype(o_ref.dtype)
 
 
-@partial(jax.jit, static_argnames=("num_groups", "eps", "apply_silu"))
-def fused_group_norm_silu(
-    x: jnp.ndarray,        # (N, H, W, C)
-    scale: jnp.ndarray,    # (C,)
-    bias: jnp.ndarray,     # (C,)
-    num_groups: int = 32,
-    eps: float = 1e-5,
-    apply_silu: bool = True,
-) -> jnp.ndarray:
-    """GroupNorm over (H, W, group-channels) + affine (+ SiLU), fp32 stats.
-
-    Falls back to plain jnp when the per-sample block exceeds a safe VMEM
-    budget or the backend is not TPU."""
+def _gn_silu_jnp(x, scale, bias, num_groups, eps, apply_silu):
     n, h, w, c = x.shape
-    # fp32 working set in VMEM ≈ 3×(HW·C) floats (x, x², out)
-    block_bytes = h * w * c * 4 * 3
-    on_tpu = jax.default_backend() == "tpu"
-    if not on_tpu or block_bytes > 12 * 1024 * 1024 or c % num_groups:
-        xg = x.reshape(n, h * w, num_groups, c // num_groups).astype(jnp.float32)
-        mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
-        var = jnp.var(xg, axis=(1, 3), keepdims=True)
-        xn = ((xg - mean) * jax.lax.rsqrt(var + eps)).reshape(n, h, w, c)
-        out = xn * scale + bias
-        if apply_silu:
-            out = out * jax.nn.sigmoid(out)
-        return out.astype(x.dtype)
+    xg = x.reshape(n, h * w, num_groups, c // num_groups).astype(jnp.float32)
+    mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
+    var = jnp.var(xg, axis=(1, 3), keepdims=True)
+    xn = ((xg - mean) * jax.lax.rsqrt(var + eps)).reshape(n, h, w, c)
+    out = xn * scale + bias
+    if apply_silu:
+        out = out * jax.nn.sigmoid(out)
+    return out.astype(x.dtype)
 
+
+def _gn_silu_pallas(x, scale, bias, num_groups, eps, apply_silu):
+    n, h, w, c = x.shape
     kernel = partial(_gn_silu_kernel, num_groups=num_groups, eps=eps,
                      apply_silu=apply_silu)
     return pl.pallas_call(
@@ -93,3 +80,48 @@ def fused_group_norm_silu(
         out_shape=jax.ShapeDtypeStruct((n, h * w, c), x.dtype),
     )(x.reshape(n, h * w, c), scale.reshape(1, c), bias.reshape(1, c)
       ).reshape(n, h, w, c)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _gn_silu(x, scale, bias, num_groups, eps, apply_silu):
+    return _gn_silu_pallas(x, scale, bias, num_groups, eps, apply_silu)
+
+
+def _gn_silu_fwd(x, scale, bias, num_groups, eps, apply_silu):
+    out = _gn_silu_pallas(x, scale, bias, num_groups, eps, apply_silu)
+    return out, (x, scale, bias)
+
+
+def _gn_silu_bwd(num_groups, eps, apply_silu, res, g):
+    # recompute-based backward through the (identical) jnp formulation — the
+    # kernel wins the forward pass; XLA handles the gradient
+    x, scale, bias = res
+    _, vjp = jax.vjp(
+        lambda x_, s_, b_: _gn_silu_jnp(x_, s_, b_, num_groups, eps, apply_silu),
+        x, scale, bias)
+    return vjp(g)
+
+
+_gn_silu.defvjp(_gn_silu_fwd, _gn_silu_bwd)
+
+
+@partial(jax.jit, static_argnames=("num_groups", "eps", "apply_silu"))
+def fused_group_norm_silu(
+    x: jnp.ndarray,        # (N, H, W, C)
+    scale: jnp.ndarray,    # (C,)
+    bias: jnp.ndarray,     # (C,)
+    num_groups: int = 32,
+    eps: float = 1e-5,
+    apply_silu: bool = True,
+) -> jnp.ndarray:
+    """GroupNorm over (H, W, group-channels) + affine (+ SiLU), fp32 stats.
+
+    Pallas forward with a recompute-based custom VJP; falls back to plain jnp
+    when the per-sample block exceeds the VMEM budget or off-TPU."""
+    n, h, w, c = x.shape
+    # fp32 working set in VMEM ≈ 3×(HW·C) floats (x, x², out)
+    block_bytes = h * w * c * 4 * 3
+    on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu or block_bytes > 12 * 1024 * 1024 or c % num_groups:
+        return _gn_silu_jnp(x, scale, bias, num_groups, eps, apply_silu)
+    return _gn_silu(x, scale, bias, num_groups, eps, apply_silu)
