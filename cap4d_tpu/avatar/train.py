@@ -202,7 +202,8 @@ def training(
             metrics_fh.flush()
 
         if iteration in testing_iterations:
-            evaluate(trainer, scene, iteration, metrics_fh)
+            evaluate(trainer, scene, iteration, metrics_fh,
+                     image_dir=model_path / "eval_images")
 
         if iteration in checkpoint_iterations or iteration == n_iter:
             print(f"[ITER {iteration}] Saving Checkpoint")
@@ -213,14 +214,17 @@ def training(
     return trainer
 
 
-def evaluate(trainer: AvatarTrainer, scene, iteration: int, metrics_fh) -> None:
-    """Validation report: L1/PSNR/SSIM(/LPIPS) on the held-out split
-    (train.py:284-349)."""
+def evaluate(trainer: AvatarTrainer, scene, iteration: int, metrics_fh,
+             image_dir=None) -> None:
+    """Validation report: L1/PSNR/SSIM(/LPIPS) on the held-out split with
+    render/error-map dumps (train.py:284-349 writes the same to TensorBoard)."""
+    import cv2
+
     for split, cameras in (("val", scene.val_cameras), ("test", scene.test_cameras)):
         if not cameras:
             continue
         stats = {"l1": [], "psnr": [], "ssim": [], "lpips": []}
-        for cam in cameras[:10]:
+        for cam_i, cam in enumerate(cameras[:10]):
             out = trainer.render_camera(cam, int(cam.timestep))
             img = jnp.clip(out["render"], 0, 1)
             gt = jnp.asarray(cam.image)
@@ -232,6 +236,17 @@ def evaluate(trainer: AvatarTrainer, scene, iteration: int, metrics_fh) -> None:
             stats["ssim"].append(float(ssim(img, gt)))
             if trainer.lpips.available:
                 stats["lpips"].append(float(trainer.lpips(img, gt)))
+            if image_dir is not None and cam_i < 3:
+                import numpy as _np
+
+                d = Path(image_dir) / f"iter_{iteration:06d}"
+                d.mkdir(parents=True, exist_ok=True)
+                render = (_np.asarray(img) * 255).astype(_np.uint8)
+                err = _np.abs(_np.asarray(img) - _np.asarray(gt)).mean(-1)
+                err = (_np.clip(err * 4, 0, 1) * 255).astype(_np.uint8)
+                cv2.imwrite(str(d / f"{split}_{cam_i}_render.png"), render[..., ::-1])
+                cv2.imwrite(str(d / f"{split}_{cam_i}_error.png"),
+                            cv2.applyColorMap(err, cv2.COLORMAP_JET))
         msg = {f"{split}/{k}": float(np.mean(v)) for k, v in stats.items() if v}
         print(f"[ITER {iteration}] {split}: " + " ".join(
             f"{k.split('/')[1]}={v:.4f}" for k, v in msg.items()))

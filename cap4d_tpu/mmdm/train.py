@@ -128,6 +128,7 @@ def train_mmdm(
     save_every: Optional[int] = None,
     mesh: Optional[Mesh] = None,
     dataset=None,
+    image_log_every: Optional[int] = None,
 ):
     config = load_yaml(config_path)
     out = Path(output_path)
@@ -172,6 +173,19 @@ def train_mmdm(
             metrics.write(json.dumps({"step": step, "loss": l,
                                       "steps_per_sec": 1 / dt}) + "\n")
             metrics.flush()
+        if image_log_every and (step % image_log_every == 0):
+            # ImageLogger parity (cldm/logger.py): decoded sample grid
+            from cap4d_tpu.mmdm.ddim import ddim_sample
+            from cap4d_tpu.utils.logging import save_image_grid
+
+            model.unet_params = state.params
+            cond1 = {k: jnp.asarray(v[0][:1]) for k, v in cond_stack.items()}
+            z_s = ddim_sample(model, cond1,
+                              (1, model.n_frames, model.latent_size,
+                               model.latent_size, 4), steps=10)
+            imgs = model.decode_latents(z_s.reshape(-1, *z_s.shape[2:]))
+            save_image_grid(imgs.reshape(1, *imgs.shape),
+                            out / "image_log" / f"samples_{step:06d}.png")
         if step % save_every == 0 or step == total:
             save_train_checkpoint(out / f"mmdm_step{step}.pkl", state, step)
     metrics.close()
