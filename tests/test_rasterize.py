@@ -130,3 +130,23 @@ def test_ndc_transform_matches_screen_projection():
     np.testing.assert_allclose(ndc[..., 0], exp_x, atol=1e-5)
     np.testing.assert_allclose(ndc[..., 1], exp_y, atol=1e-5)
     np.testing.assert_allclose(ndc[..., 2], verts[..., 2], atol=1e-6)
+
+
+def test_pallas_rasterizer_matches_xla(random_mesh):
+    """The Pallas tile kernel (interpret mode on CPU) matches the XLA scan."""
+    from cap4d_tpu.ops.rasterize import rasterize_meshes_pallas
+
+    verts, faces = random_mesh
+    H = W = 32
+    ref = rasterize_meshes(verts[None], faces, (H, W), chunk=16)
+    out = rasterize_meshes_pallas(verts[None].astype(np.float32), faces, (H, W),
+                                  interpret=True)
+    p_ref = np.asarray(ref.pix_to_face[0])
+    p_out = np.asarray(out.pix_to_face[0])
+    agree = (p_ref == p_out).mean()
+    assert agree > 0.995, agree
+    m = (p_ref == p_out) & (p_ref >= 0)
+    np.testing.assert_allclose(np.asarray(out.zbuf[0])[m],
+                               np.asarray(ref.zbuf[0])[m], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.bary_coords[0])[m],
+                               np.asarray(ref.bary_coords[0])[m], atol=1e-4)
