@@ -42,6 +42,10 @@ def training(
     variant: str = "flame",
     smpl_asset_dir: str | Path = "data/assets/smpl",
 ) -> AvatarTrainer:
+    from cap4d_tpu.mmdm.model import _coerce_numbers
+
+    model_params = _coerce_numbers(dict(model_params))
+    opt_params = _coerce_numbers(dict(opt_params))
     model_path = Path(model_path)
     model_path.mkdir(parents=True, exist_ok=True)
     # config provenance dump, re-read by animate (train.py:386, animate.py:84)
@@ -189,12 +193,14 @@ def training(
                     (trainer.moments["gauss_m"], trainer.moments["gauss_v"]))
                 trainer.moments["gauss_m"], trainer.moments["gauss_v"] = gm
 
-        total = float(losses["total"])
-        ema_loss = 0.4 * total + 0.6 * ema_loss
-        metrics_fh.write(json.dumps(
-            {"iter": iteration, "loss": total,
-             **{k: float(v) for k, v in losses.items()}}) + "\n")
-        if iteration % 10 == 0:
+        # fetch losses only at log boundaries: a per-iteration device sync
+        # serialises the async dispatch queue and dominates step time
+        if iteration % 10 == 0 or iteration == n_iter:
+            total = float(losses["total"])
+            ema_loss = 0.4 * total + 0.6 * ema_loss
+            metrics_fh.write(json.dumps(
+                {"iter": iteration, "loss": total,
+                 **{k: float(v) for k, v in losses.items()}}) + "\n")
             n_active = int(trainer.gauss_aux.n_active)
             elapsed = time.perf_counter() - t_start
             print(f"[{iteration}/{n_iter}] loss={ema_loss:.5f} "

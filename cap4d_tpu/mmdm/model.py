@@ -32,9 +32,27 @@ from cap4d_tpu.mmdm.vae import SCALE_FACTOR, AutoencoderKL
 DEFAULT_FLAME_ASSETS = Path("data/assets/flame")
 
 
+def _coerce_numbers(obj):
+    """YAML 1.1 parses '5e-3' / '1_0000' as strings (OmegaConf coerced them in
+    the reference); convert numeric-looking strings recursively."""
+    if isinstance(obj, dict):
+        return {k: _coerce_numbers(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_coerce_numbers(v) for v in obj]
+    if isinstance(obj, str):
+        try:
+            return int(obj)
+        except ValueError:
+            try:
+                return float(obj)
+            except ValueError:
+                return obj
+    return obj
+
+
 def load_yaml(path: str | Path) -> Dict[str, Any]:
     with open(path) as fh:
-        return yaml.safe_load(fh)
+        return _coerce_numbers(yaml.safe_load(fh))
 
 
 @dataclass

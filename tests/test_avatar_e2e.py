@@ -50,7 +50,7 @@ MODEL_PARAMS = dict(
     use_expr_mask=True, uv_resolution=32, n_gaussians_init=400, sh_degree=1,
 )
 OPT_PARAMS = dict(
-    iterations=8, sh_warmup_iterations=4, lambda_scale=1.0, threshold_scale=1.0,
+    iterations=10, sh_warmup_iterations=5, lambda_scale=1.0, threshold_scale=1.0,
     lambda_xyz=1e-3, threshold_xyz=2.0, metric_xyz=False, metric_scale=False,
     feature_lr=0.0025, opacity_lr=0.025, scaling_lr=0.005, rotation_lr=0.001,
     percent_dense=0.01, lambda_dssim=0.5, densification_interval=3,
@@ -94,7 +94,7 @@ def test_training_ran_and_logged(fitted):
     assert any("loss" in l for l in lines)
     assert np.isfinite([l["loss"] for l in lines if "loss" in l]).all()
     assert any("val/psnr" in l for l in lines)
-    assert (model_path / "chkpnt8.pth").exists()
+    assert (model_path / "chkpnt10.pth").exists()
     assert int(trainer.gauss_aux.n_active) >= 400
 
 
@@ -116,9 +116,9 @@ def test_render_and_checkpoint_roundtrip(fitted):
 
     t2 = AvatarTrainer.create(scene, MODEL_PARAMS, OPT_PARAMS,
                               flame_asset_dir=flame_dir)
-    with open(model_path / "chkpnt8.pth", "rb") as fh:
+    with open(model_path / "chkpnt10.pth", "rb") as fh:
         chkpt, it = pickle.load(fh)
-    assert it == 8
+    assert it == 10
     t2.restore(chkpt)
     out2 = t2.render_camera(cam, cam.timestep)
     np.testing.assert_allclose(np.asarray(out2["render"]), img, atol=1e-5)
