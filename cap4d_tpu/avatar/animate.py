@@ -49,9 +49,19 @@ def load_trained_avatar(model_path: Path, flame_asset_dir: str,
     it, ckpt_path = search_max_iteration(model_path)
     assert ckpt_path is not None, f"no chkpnt*.pth under {model_path}"
     print(f"Loading checkpoint at iteration {it}")
-    with open(ckpt_path, "rb") as fh:
-        chkpt, _ = pickle.load(fh)
-    trainer.restore(chkpt)
+    from cap4d_tpu.avatar.convert_ref import (
+        is_torch_checkpoint,
+        load_reference_avatar_checkpoint,
+        restore_reference_checkpoint,
+    )
+
+    if is_torch_checkpoint(ckpt_path):  # a reference-trained avatar
+        chkpt, _ = load_reference_avatar_checkpoint(ckpt_path)
+        restore_reference_checkpoint(trainer, chkpt)
+    else:
+        with open(ckpt_path, "rb") as fh:
+            chkpt, _ = pickle.load(fh)
+        trainer.restore(chkpt)
     return trainer
 
 

@@ -84,10 +84,20 @@ def training(
         else:
             import pickle
 
+            from cap4d_tpu.avatar.convert_ref import (
+                is_torch_checkpoint,
+                load_reference_avatar_checkpoint,
+                restore_reference_checkpoint,
+            )
+
             print(f"Loading trained model at iteration {loaded_iter}")
-            with open(path, "rb") as fh:
-                chkpt, first_iter = pickle.load(fh)
-            trainer.restore(chkpt)
+            if is_torch_checkpoint(path):  # continue from a reference fit
+                chkpt, first_iter = load_reference_avatar_checkpoint(path)
+                restore_reference_checkpoint(trainer, chkpt)
+            else:
+                with open(path, "rb") as fh:
+                    chkpt, first_iter = pickle.load(fh)
+                trainer.restore(chkpt)
 
     rng = np.random.default_rng(seed)
     jrng = jax.random.PRNGKey(seed)
