@@ -48,14 +48,24 @@ def _flash_fn():
 
     def run(q, k, v):  # (B, H, S, D)
         seq = q.shape[2]
-        blk = min(512, seq)
+        # 1024 measured ~10% faster than 512 on v5e at the MMDM's 2k-32k
+        # sequence lengths; 2048 fails to compile (VMEM)
+        if seq <= 1024:
+            blk = seq
+        elif seq % 1024 == 0:
+            blk = 1024
+        else:
+            blk = 512
         sizes = BlockSizes(
             block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
             block_q_major_dkv=blk, block_k_major_dkv=blk,
             block_q_dkv=blk, block_k_dkv=blk,
             block_q_dq=blk, block_k_dq=blk, block_k_major_dq=blk,
         )
-        return flash_attention(q, k, v, causal=False, block_sizes=sizes)
+        # the pallas kernel defaults to sm_scale=1.0 — pass the standard
+        # 1/sqrt(d) explicitly or attention silently runs unscaled
+        return flash_attention(q, k, v, causal=False, block_sizes=sizes,
+                               sm_scale=q.shape[-1] ** -0.5)
 
     return run
 
@@ -75,7 +85,7 @@ def dot_product_attention(
         # pallas kernel wants (B, H, S, D) and S a multiple of the block size
         qt, kt, vt = (jnp.swapaxes(x, 1, 2) for x in (q, k, v))
         seq = qt.shape[2]
-        if seq % 512 != 0 and seq > 512:
+        if seq > 1024 and seq % 512 != 0:
             return _einsum_attention(q, k, v)
         out = _flash_fn()(qt, kt, vt)
         return jnp.swapaxes(out, 1, 2)

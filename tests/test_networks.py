@@ -169,3 +169,26 @@ def test_fused_norms_parity():
     o1 = m1.apply({"params": params}, x, ts, cond)
     o2 = m2.apply({"params": params}, x, ts, cond)
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-5)
+
+
+def test_flash_attention_matches_einsum_on_tpu():
+    """Flash vs exact einsum parity — the pallas kernel must be called with
+    sm_scale=1/sqrt(d) (its default of 1.0 silently unscales attention).
+    Runs only on TPU hardware: the pallas TPU flash kernel has no CPU
+    interpret path; the suite's CPU run skips it, bench/TPU sessions run it."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        import pytest
+
+        pytest.skip("pallas TPU flash kernel needs TPU hardware")
+    import numpy as np
+
+    from cap4d_tpu.ops.attention import dot_product_attention
+
+    key = jax.random.PRNGKey(1)
+    q, k, v = (jax.random.normal(jax.random.fold_in(key, i), (2, 2048, 4, 64))
+               for i in range(3))
+    f = np.asarray(dot_product_attention(q, k, v, backend="flash"))
+    e = np.asarray(dot_product_attention(q, k, v, backend="einsum"))
+    np.testing.assert_allclose(f, e, atol=2e-3)
