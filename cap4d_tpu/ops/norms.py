@@ -34,14 +34,20 @@ def _gn_silu_kernel(x_ref, scale_ref, bias_ref, o_ref, *, num_groups: int,
 
     s1 = jnp.sum(x, axis=0, keepdims=True)                   # (1, C)
     s2 = jnp.sum(x * x, axis=0, keepdims=True)
-    g1 = jnp.dot(s1, onehot, preferred_element_type=jnp.float32)  # (1, G)
-    g2 = jnp.dot(s2, onehot, preferred_element_type=jnp.float32)
+    # HIGHEST: default MXU precision truncates the fp32 operands to one
+    # bf16 pass (~1e-2 error in the stats, observed on chip)
+    hi = jax.lax.Precision.HIGHEST
+    g1 = jnp.dot(s1, onehot, preferred_element_type=jnp.float32,
+                 precision=hi)                                    # (1, G)
+    g2 = jnp.dot(s2, onehot, preferred_element_type=jnp.float32, precision=hi)
     denom = float(hw * gs)
     mean_g = g1 / denom
     var_g = g2 / denom - mean_g * mean_g
     rstd_g = jax.lax.rsqrt(var_g + eps)
-    mean_c = jnp.dot(mean_g, onehot.T, preferred_element_type=jnp.float32)  # (1, C)
-    rstd_c = jnp.dot(rstd_g, onehot.T, preferred_element_type=jnp.float32)
+    mean_c = jnp.dot(mean_g, onehot.T, preferred_element_type=jnp.float32,
+                     precision=hi)                                # (1, C)
+    rstd_c = jnp.dot(rstd_g, onehot.T, preferred_element_type=jnp.float32,
+                     precision=hi)
 
     out = (x - mean_c) * rstd_c * scale_ref[0].astype(jnp.float32) \
         + bias_ref[0].astype(jnp.float32)
