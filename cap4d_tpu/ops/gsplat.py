@@ -93,7 +93,10 @@ def project_gaussians(
     """EWA projection. Returns means2d, conics, depths, radii, valid."""
     R = viewmat[:3, :3]
     t = viewmat[:3, 3]
-    p_cam = means3d @ R.T + t
+    # geometry matmuls at HIGHEST precision: default = one bf16 MXU pass
+    # (0.4 px means2d / 2.4e-2 render error measured on chip)
+    _hi = jax.lax.Precision.HIGHEST
+    p_cam = jnp.matmul(means3d, R.T, precision=_hi) + t
     z = p_cam[:, 2]
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
     z_safe = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
@@ -103,8 +106,8 @@ def project_gaussians(
 
     Rq = quat_to_rotmat(quats)
     M = Rq * scales[:, None, :]                      # R @ diag(s)
-    cov3d = M @ jnp.swapaxes(M, -1, -2)
-    cov_cam = jnp.einsum("ij,njk,lk->nil", R, cov3d, R)
+    cov3d = jnp.matmul(M, jnp.swapaxes(M, -1, -2), precision=_hi)
+    cov_cam = jnp.einsum("ij,njk,lk->nil", R, cov3d, R, precision=_hi)
 
     # Jacobian of perspective projection (2×3), with gsplat's frustum clamping
     # of x/z, y/z to limit distortions at the image border
@@ -119,7 +122,8 @@ def project_gaussians(
         fx * inv_z, zeros, -fx * tx * inv_z2,
         zeros, fy * inv_z, -fy * ty * inv_z2,
     ], axis=-1).reshape(-1, 2, 3)
-    cov2d = J @ cov_cam @ jnp.swapaxes(J, -1, -2)
+    cov2d = jnp.matmul(jnp.matmul(J, cov_cam, precision=_hi),
+                       jnp.swapaxes(J, -1, -2), precision=_hi)
     cov2d = cov2d + eps2d * jnp.eye(2)
 
     det = cov2d[:, 0, 0] * cov2d[:, 1, 1] - cov2d[:, 0, 1] * cov2d[:, 1, 0]
@@ -180,7 +184,8 @@ def rasterize_gaussians(
     if means2d_offset is not None:
         means2d = means2d + means2d_offset
 
-    cam_pos = -viewmat[:3, :3].T @ viewmat[:3, 3]
+    cam_pos = -jnp.matmul(viewmat[:3, :3].T, viewmat[:3, 3],
+                          precision=jax.lax.Precision.HIGHEST)
     dirs = means3d - cam_pos
     dirs = dirs / jnp.clip(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-8)
     colors = jnp.clip(eval_sh(sh_colors, dirs, sh_degree) + 0.5, 0.0)  # (N, 3)

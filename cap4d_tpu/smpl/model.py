@@ -66,6 +66,9 @@ def build_smpl_model(smpl_dict: Dict[str, np.ndarray], n_betas: int = SMPL_N_BET
     )
 
 
+_HI = jax.lax.Precision.HIGHEST  # default = 1 bf16 MXU pass on TPU
+
+
 def smpl_forward(
     model: SMPLModel,
     betas: jnp.ndarray,          # (10,)
@@ -75,15 +78,15 @@ def smpl_forward(
 ) -> Dict[str, jnp.ndarray]:
     """Returns verts (B, V, 3) and joints (B, 24, 3) in world space."""
     B = body_pose.shape[0]
-    v_shaped = model.template + jnp.einsum("b,vxb->vx", betas, model.shape_dirs)
-    joints = jnp.einsum("jv,vx->jx", model.joint_regressor, v_shaped)  # (24, 3)
+    v_shaped = model.template + jnp.einsum("b,vxb->vx", betas, model.shape_dirs, precision=_HI)
+    joints = jnp.einsum("jv,vx->jx", model.joint_regressor, v_shaped, precision=_HI)  # (24, 3)
 
     full_pose = jnp.concatenate([global_orient[:, None], body_pose.reshape(B, 23, 3)], axis=1)
     rots = rodrigues(full_pose)  # (B, 24, 3, 3)
 
     ident = jnp.eye(3)
     pose_feat = (rots[:, 1:] - ident).reshape(B, -1)  # (B, 207)
-    v_posed = v_shaped[None] + jnp.einsum("bk,kvx->bvx", pose_feat, model.pose_dirs)
+    v_posed = v_shaped[None] + jnp.einsum("bk,kvx->bvx", pose_feat, model.pose_dirs, precision=_HI)
 
     # forward kinematics along the kintree (python loop over 24 static joints)
     parents = np.asarray(model.parents)
@@ -93,16 +96,16 @@ def smpl_forward(
     for j in range(SMPL_N_JOINTS):
         T = jnp.zeros((B, 4, 4))
         T = T.at[:, :3, :3].set(rots[:, j]).at[:, :3, 3].set(rel_j[j]).at[:, 3, 3].set(1.0)
-        A[j] = T if parents[j] < 0 else jnp.einsum("bij,bjk->bik", A[parents[j]], T)
+        A[j] = T if parents[j] < 0 else jnp.einsum("bij,bjk->bik", A[parents[j]], T, precision=_HI)
     A = jnp.stack(A, axis=1)  # (B, 24, 4, 4)
 
     # remove rest-pose joint locations: G_j = A_j · [I | -joints_j]
-    t_correct = jnp.einsum("bjik,jk->bji", A[:, :, :3, :3], joints)
+    t_correct = jnp.einsum("bjik,jk->bji", A[:, :, :3, :3], joints, precision=_HI)
     G = A.at[:, :, :3, 3].add(-t_correct)
 
-    W = jnp.einsum("vj,bjik->bvik", model.skin_weights, G)  # (B, V, 4, 4)
+    W = jnp.einsum("vj,bjik->bvik", model.skin_weights, G, precision=_HI)  # (B, V, 4, 4)
     v_h = jnp.concatenate([v_posed, jnp.ones_like(v_posed[..., :1])], axis=-1)
-    verts = jnp.einsum("bvik,bvk->bvi", W, v_h)[..., :3]
+    verts = jnp.einsum("bvik,bvk->bvi", W, v_h, precision=_HI)[..., :3]
     joints_world = A[:, :, :3, 3]  # A holds world joint positions pre-correction
     if transl is not None:
         verts = verts + transl[:, None]
