@@ -20,20 +20,18 @@ CROP_MARGIN = 0.2
 
 
 def crop_image(img: np.ndarray, crop_box: np.ndarray, bg_value=0) -> np.ndarray:
-    """Crop with out-of-bounds padding at bg_value (datasets/utils.py:26-50)."""
+    """Crop with out-of-bounds padding at bg_value (datasets/utils.py:26-50).
+
+    Copies the box∩image overlap explicitly, so a box lying fully outside
+    the image (extreme off-screen head projections) yields an all-background
+    crop instead of a negative-slice broadcast error."""
     img_h, img_w = img.shape[:2]
-    crop_h = crop_box[3] - crop_box[1]
-    crop_w = crop_box[2] - crop_box[0]
-    x_start = max(0, -crop_box[0])
-    x_end = max(0, crop_box[2] - img_w)
-    y_start = max(0, -crop_box[1])
-    y_end = max(0, crop_box[3] - img_h)
-    out = np.ones((crop_h, crop_w, *img.shape[2:]), dtype=img.dtype) * bg_value
-    out[y_start : crop_h - y_end, x_start : crop_w - x_end, ...] = img[
-        crop_box[1] + y_start : crop_box[3] - y_end,
-        crop_box[0] + x_start : crop_box[2] - x_end,
-        ...,
-    ]
+    x0, y0, x1, y1 = (int(v) for v in crop_box[:4])
+    out = np.ones((y1 - y0, x1 - x0, *img.shape[2:]), dtype=img.dtype) * bg_value
+    ix0, ix1 = min(max(x0, 0), img_w), min(max(x1, 0), img_w)
+    iy0, iy1 = min(max(y0, 0), img_h), min(max(y1, 0), img_h)
+    if ix1 > ix0 and iy1 > iy0:
+        out[iy0 - y0 : iy1 - y0, ix0 - x0 : ix1 - x0, ...] = img[iy0:iy1, ix0:ix1, ...]
     return out
 
 
