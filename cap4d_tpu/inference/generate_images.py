@@ -152,7 +152,8 @@ def run_generation(
 
     # --- sampling ---
     if mesh is None:
-        mesh = Mesh(np.array(jax.devices()), ("dp",))
+        from cap4d_tpu.parallel import dp_mesh
+        mesh = dp_mesh()
     sampler = StochasticIOSampler(model, mesh=mesh)
     rng, s_rng = jax.random.split(rng)
     from cap4d_tpu.utils.logging import profile_trace

@@ -200,7 +200,8 @@ def main():
     parser.add_argument("--n_steps", type=int, default=None)
     parser.add_argument("--flame_asset_dir", type=str, default="data/assets/flame")
     args = parser.parse_args()
-    mesh = Mesh(np.array(jax.devices()), ("dp",))
+    from cap4d_tpu.parallel import dp_mesh
+    mesh = dp_mesh()
     train_mmdm(args.config_path, args.output_path, n_steps=args.n_steps,
                flame_asset_dir=args.flame_asset_dir, mesh=mesh)
 
