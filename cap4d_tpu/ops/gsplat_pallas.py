@@ -1,0 +1,471 @@
+"""Pallas TPU tile-compositing kernel for differentiable 3D Gaussian splatting.
+
+This is the perf path of :mod:`cap4d_tpu.ops.gsplat` (the XLA sort-based
+renderer remains as the CPU/test fallback). It replaces the CUDA
+``gsplat.rendering.rasterization`` the reference wraps
+(gaussianavatars/gaussian_renderer/gsplat_renderer.py:45-60) with a
+TPU-native design:
+
+  * XLA side: channelwise EWA projection + SH, pair expansion (gaussian ×
+    overlapped tile), one 2-key sort by (tile, depth), and a gather that lays
+    the per-pair compositing rows out in *chunk-aligned per-tile segments* —
+    every tile's pair list starts at a CHUNK boundary and is padded to a
+    multiple of CHUNK with rows of a dummy zero-opacity gaussian.
+  * Pallas forward: one grid step per 16×16 tile. The kernel walks the
+    tile's chunks with double-buffered HBM→VMEM DMA and composites
+    front-to-back, carrying per-pixel log-transmittance; the within-chunk
+    exclusive prefix of log(1−α) is one (PX,CH)@(CH,CH) triangular matmul on
+    the MXU. It terminates early once every pixel's transmittance falls
+    below 1e-4 (the same threshold CUDA 3DGS uses) — unlike the XLA
+    fallback there is NO per-tile gaussian cap, so nothing is silently
+    truncated no matter how deep densification stacks a tile.
+  * Pallas backward (custom VJP): front-to-back replay computing exact
+    per-pair gradients (means2d, conic, opacity, color, depth) using the
+    suffix-sum identity  dL/dα_k = T_k·q_k − (Σ_{j>k} w_j q_j)/(1−α_k),
+    with the suffix obtained from the forward's accumulated totals minus a
+    running prefix. Per-chunk gradient rows DMA back to HBM; the caller's
+    gather (pairs = packed[idx]) turns them into per-gaussian grads via
+    JAX's scatter-add adjoint, so densification's means2d grad statistics
+    keep working unchanged.
+
+Reference semantics matched: alpha threshold 1/255, alpha cap 0.999,
+front-to-back over depth-sorted pairs, white-background compositing outside
+the kernel (cf. gsplat rasterization "classic" mode with eps2d=0.3).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cap4d_tpu.ops.gsplat import eval_sh_ch, project_gaussians_ch
+
+TILE = 16                 # pixels per tile side (PX = 256 pixels per tile)
+CHUNK = 128               # gaussians composited per inner step
+_LOG_TERM = -9.21034037   # log(1e-4): early-termination transmittance
+_ALPHA_MIN = 1.0 / 255.0
+_ALPHA_MAX = 0.999
+
+# packed row layout (10 channels per pair)
+# 0 mean_x, 1 mean_y, 2 conic_a, 3 conic_b, 4 conic_c,
+# 5 opacity, 6:9 rgb, 9 depth
+
+
+def _tri(ch: int, inclusive: bool) -> jnp.ndarray:
+    row = jax.lax.broadcasted_iota(jnp.int32, (ch, ch), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (ch, ch), 1)
+    return ((row <= col) if inclusive else (row < col)).astype(jnp.float32)
+
+
+def _chunk_fields(d):
+    """Split a (10, CH) chunk into broadcast-ready (1, CH) rows."""
+    return (d[0:1], d[1:2], d[2:3], d[3:4], d[4:5], d[5:6], d[6:9], d[9:10])
+
+
+def _alpha_terms(d, px, py):
+    """Shared forward math: returns (alpha, l=log1p(-alpha), fields...)."""
+    mean_x, mean_y, ca, cb, cc, opac, colors, depth = _chunk_fields(d)
+    dx = px - mean_x                                   # (PX, CH)
+    dy = py - mean_y
+    sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+    alpha_raw = opac * jnp.exp(-sigma)
+    keep = (sigma >= 0.0) & (alpha_raw >= _ALPHA_MIN)
+    alpha = jnp.where(keep, jnp.minimum(alpha_raw, _ALPHA_MAX), 0.0)
+    l = jnp.log1p(-alpha)
+    return alpha, l, dx, dy, sigma, alpha_raw, keep, colors, depth
+
+
+def _pixel_coords(t, tiles_x):
+    px_i = jax.lax.broadcasted_iota(jnp.int32, (TILE * TILE, 1), 0)
+    ox = (t % tiles_x) * TILE
+    oy = (t // tiles_x) * TILE
+    px = (ox + px_i % TILE).astype(jnp.float32) + 0.5
+    py = (oy + px_i // TILE).astype(jnp.float32) + 0.5
+    return px, py
+
+
+def _fwd_kernel(first_chunk_ref, nchunks_ref, pairs_ref, out_ref,
+                buf, sem, *, tiles_x):
+    PX = TILE * TILE
+    t = pl.program_id(0)
+    c0 = first_chunk_ref[t]
+    nck = nchunks_ref[t]
+    px, py = _pixel_coords(t, tiles_x)
+    u_excl = _tri(CHUNK, inclusive=False)
+
+    def dma(slot, j):
+        return pltpu.make_async_copy(pairs_ref.at[c0 + j], buf.at[slot], sem.at[slot])
+
+    @pl.when(nck > 0)
+    def _():
+        dma(0, 0).start()
+
+    zero_px1 = jnp.zeros((PX, 1), jnp.float32)
+    init = (0, jnp.float32(0.0), jnp.zeros((PX, 3), jnp.float32),
+            zero_px1, zero_px1, zero_px1)
+
+    def body(carry):
+        j, _, rgb, wsum, dsum, logT = carry
+
+        @pl.when(j + 1 < nck)
+        def _():
+            dma((j + 1) % 2, j + 1).start()
+
+        dma(j % 2, j).wait()
+        d = buf[j % 2]
+        alpha, l, _, _, _, _, _, colors, depth = _alpha_terms(d, px, py)
+        excl = jax.lax.dot_general(
+            l, u_excl, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        w = alpha * jnp.exp(excl + logT)               # (PX, CH)
+        rgb = rgb + jax.lax.dot_general(
+            w, colors, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)        # (PX, 3)
+        wsum = wsum + jnp.sum(w, axis=1, keepdims=True)
+        dsum = dsum + jnp.sum(w * depth, axis=1, keepdims=True)
+        logT = logT + jnp.sum(l, axis=1, keepdims=True)
+        return j + 1, jnp.max(logT), rgb, wsum, dsum, logT
+
+    n_done, _, rgb, wsum, dsum, logT = jax.lax.while_loop(
+        lambda c: (c[0] < nck) & (c[1] > _LOG_TERM), body, init)
+
+    # early termination exits with the next chunk's DMA already in flight —
+    # it must be consumed before the kernel step ends (unwaited semaphore
+    # ⇒ "TPU backend error (Internal)" at runtime)
+    @pl.when(n_done < nck)
+    def _():
+        dma(n_done % 2, n_done).wait()
+
+    out_ref[0] = jnp.concatenate(
+        [rgb, wsum, dsum, logT, jnp.zeros((PX, 2), jnp.float32)], axis=1)
+
+
+def _bwd_kernel(first_chunk_ref, nchunks_ref, pairs_ref, fwd_out_ref, g_ref,
+                dzero_ref, dpairs_ref, buf, gbuf, sem, osem, *, tiles_x):
+    """Replays the forward front-to-back, emitting per-pair gradient rows.
+
+    dpairs is input/output-aliased with a zero array (dzero_ref) so chunks
+    never visited (early-terminated or out of segment) keep zero gradients.
+    """
+    del dzero_ref
+    PX = TILE * TILE
+    t = pl.program_id(0)
+    c0 = first_chunk_ref[t]
+    nck = nchunks_ref[t]
+    px, py = _pixel_coords(t, tiles_x)
+    u_incl = _tri(CHUNK, inclusive=True)
+    u_excl = _tri(CHUNK, inclusive=False)
+
+    g_rgb = g_ref[0, :, 0:3]                            # (PX, 3)
+    g_wsum = g_ref[0, :, 3:4]
+    g_dsum = g_ref[0, :, 4:5]
+    g_logT = g_ref[0, :, 5:6]
+    # total Σ_j w_j q_j per pixel, from the forward's accumulated outputs
+    s_total = (jnp.sum(fwd_out_ref[0, :, 0:3] * g_rgb, axis=1, keepdims=True)
+               + fwd_out_ref[0, :, 3:4] * g_wsum
+               + fwd_out_ref[0, :, 4:5] * g_dsum)
+
+    def dma_in(slot, j):
+        return pltpu.make_async_copy(pairs_ref.at[c0 + j], buf.at[slot], sem.at[slot])
+
+    def dma_out(slot, j):
+        return pltpu.make_async_copy(gbuf.at[slot], dpairs_ref.at[c0 + j], osem.at[slot])
+
+    @pl.when(nck > 0)
+    def _():
+        dma_in(0, 0).start()
+
+    zero_px1 = jnp.zeros((PX, 1), jnp.float32)
+    init = (0, jnp.float32(0.0), zero_px1, zero_px1)
+
+    def body(carry):
+        j, _, prefix, logT = carry
+
+        @pl.when(j + 1 < nck)
+        def _():
+            dma_in((j + 1) % 2, j + 1).start()
+
+        dma_in(j % 2, j).wait()
+        d = buf[j % 2]
+        (alpha, l, dx, dy, sigma, alpha_raw, keep,
+         colors, depth) = _alpha_terms(d, px, py)
+        ca, cb, cc = d[2:3], d[3:4], d[4:5]
+
+        T = jnp.exp(jax.lax.dot_general(
+            l, u_excl, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST) + logT)  # exclusive prefix
+        w = alpha * T
+
+        # q_k(p): sensitivity of the outputs to w_k at pixel p
+        q = (jax.lax.dot_general(g_rgb, colors, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+             + g_wsum + g_dsum * depth)                 # (PX, CH)
+        wq = w * q
+        incl = jax.lax.dot_general(wq, u_incl, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        suffix = s_total - (prefix + incl)              # Σ_{j>k} w_j q_j
+        d_alpha = T * q - (suffix + g_logT) / (1.0 - alpha)
+        active = keep & (alpha_raw < _ALPHA_MAX)
+        d_pre = jnp.where(active, d_alpha, 0.0)
+
+        d_opac = jnp.sum(d_pre * jnp.exp(-sigma), axis=0, keepdims=True)
+        d_sigma = d_pre * (-alpha)
+        gx = ca * dx + cb * dy
+        gy = cc * dy + cb * dx
+        d_mx = jnp.sum(d_sigma * (-gx), axis=0, keepdims=True)
+        d_my = jnp.sum(d_sigma * (-gy), axis=0, keepdims=True)
+        d_ca = jnp.sum(d_sigma * 0.5 * dx * dx, axis=0, keepdims=True)
+        d_cb = jnp.sum(d_sigma * dx * dy, axis=0, keepdims=True)
+        d_cc = jnp.sum(d_sigma * 0.5 * dy * dy, axis=0, keepdims=True)
+        d_col = jax.lax.dot_general(g_rgb, w, (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)  # (3, CH)
+        d_dep = jnp.sum(w * g_dsum, axis=0, keepdims=True)
+
+        slot = j % 2
+        @pl.when(j >= 2)
+        def _():
+            dma_out(slot, j - 2).wait()
+        gbuf[slot] = jnp.concatenate(
+            [d_mx, d_my, d_ca, d_cb, d_cc, d_opac, d_col, d_dep], axis=0)
+        dma_out(slot, j).start()
+
+        prefix = prefix + jnp.sum(wq, axis=1, keepdims=True)
+        logT = logT + jnp.sum(l, axis=1, keepdims=True)
+        return j + 1, jnp.max(logT), prefix, logT
+
+    n_done, _, _, _ = jax.lax.while_loop(
+        lambda c: (c[0] < nck) & (c[1] > _LOG_TERM), body, init)
+
+    # consume the in-flight input DMA left by early termination (see fwd)
+    @pl.when(n_done < nck)
+    def _():
+        dma_in(n_done % 2, n_done).wait()
+
+    @pl.when(n_done >= 2)
+    def _():
+        dma_out((n_done - 2) % 2, n_done - 2).wait()
+
+    @pl.when(n_done >= 1)
+    def _():
+        dma_out((n_done - 1) % 2, n_done - 1).wait()
+
+
+@functools.lru_cache(maxsize=None)
+def _make_composite(n_tiles: int, tiles_x: int, n_chunks_total: int,
+                    interpret: bool):
+    PX = TILE * TILE
+    grid_fwd = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, PX, 8), lambda t, *_: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, 10, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    fwd_call = pl.pallas_call(
+        functools.partial(_fwd_kernel, tiles_x=tiles_x),
+        grid_spec=grid_fwd,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, PX, 8), jnp.float32),
+        interpret=interpret,
+    )
+
+    grid_bwd = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),       # pairs
+            pl.BlockSpec((1, PX, 8), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),      # fwd out
+            pl.BlockSpec((1, PX, 8), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),      # cotangent
+            pl.BlockSpec(memory_space=pl.ANY),       # zeros (aliased out)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, 10, CHUNK), jnp.float32),
+            pltpu.VMEM((2, 10, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    bwd_call = pl.pallas_call(
+        functools.partial(_bwd_kernel, tiles_x=tiles_x),
+        grid_spec=grid_bwd,
+        out_shape=jax.ShapeDtypeStruct((n_chunks_total, 10, CHUNK), jnp.float32),
+        input_output_aliases={5: 0},  # zeros input (after 2 prefetch args) → dpairs
+        interpret=interpret,
+    )
+
+    @jax.custom_vjp
+    def composite(pairs3d, first_chunk, nchunks):
+        return fwd_call(first_chunk, nchunks, pairs3d)
+
+    def composite_fwd(pairs3d, first_chunk, nchunks):
+        out = composite(pairs3d, first_chunk, nchunks)
+        return out, (pairs3d, first_chunk, nchunks, out)
+
+    def composite_bwd(res, g):
+        pairs3d, first_chunk, nchunks, out = res
+        dzero = jnp.zeros_like(pairs3d)
+        dpairs = bwd_call(first_chunk, nchunks, pairs3d, out, g, dzero)
+        return dpairs, None, None
+
+    composite.defvjp(composite_fwd, composite_bwd)
+    return composite
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "width", "height", "sh_degree", "max_tiles_per_gaussian", "render_depth",
+    "interpret"))
+def rasterize_gaussians_pallas(
+    means3d: jnp.ndarray,     # (N, 3) world
+    quats: jnp.ndarray,       # (N, 4) wxyz
+    scales: jnp.ndarray,      # (N, 3) world-space scales (post-activation)
+    opacities: jnp.ndarray,   # (N,)
+    sh_colors: jnp.ndarray,   # (N, K, 3)
+    viewmat: jnp.ndarray,     # (4, 4) world→cam
+    K: jnp.ndarray,           # (3, 3)
+    width: int,
+    height: int,
+    sh_degree: int = 3,
+    background: Optional[jnp.ndarray] = None,
+    near: float = 0.01,
+    far: float = 1e10,
+    max_tiles_per_gaussian: int = 16,
+    render_depth: bool = False,
+    means2d_offset: Optional[jnp.ndarray] = None,
+    mask: Optional[jnp.ndarray] = None,
+    interpret: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """Pallas-path rasterizer; same contract as gsplat.rasterize_gaussians
+    minus the per-tile cap (`max_per_tile` does not exist here: compositing
+    is exact for any overlap depth; only `max_tiles_per_gaussian` — the
+    side² tile-footprint cap — can truncate, reported via n_truncated)."""
+    n = means3d.shape[0]
+    if background is None:
+        background = jnp.ones(3, jnp.float32)
+    side = int(max_tiles_per_gaussian ** 0.5)
+
+    ch = project_gaussians_ch(means3d, quats, scales, viewmat, K,
+                              width, height, near, far)
+    mean_x, mean_y = ch["mean_x"], ch["mean_y"]
+    radius, valid, depth = ch["radius"], ch["valid"], ch["depth"]
+    if mask is not None:
+        valid = valid & mask
+        radius = jnp.where(mask, radius, 0.0)
+    if means2d_offset is not None:
+        mean_x = mean_x + means2d_offset[:, 0]
+        mean_y = mean_y + means2d_offset[:, 1]
+
+    cam_pos = -jnp.matmul(viewmat[:3, :3].T, viewmat[:3, 3],
+                          precision=jax.lax.Precision.HIGHEST)
+    dirs = means3d - cam_pos
+    dirs = dirs / jnp.clip(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-8)
+    colors = jnp.clip(
+        eval_sh_ch(sh_colors, dirs[:, 0], dirs[:, 1], dirs[:, 2], sh_degree)
+        + 0.5, 0.0)                                     # (3, N)
+
+    packed = jnp.stack([
+        mean_x, mean_y, ch["conic_a"], ch["conic_b"], ch["conic_c"],
+        opacities, colors[0], colors[1], colors[2], depth,
+    ], axis=-1)                                          # (N, 10)
+    packed = jnp.concatenate(
+        [packed, jnp.zeros((1, 10), packed.dtype)], axis=0)  # dummy row N
+
+    # ---- pair expansion, (side², N) layout so N stays on lanes ----
+    tiles_x = (width + TILE - 1) // TILE
+    tiles_y = (height + TILE - 1) // TILE
+    n_tiles = tiles_x * tiles_y
+    tx0 = jnp.floor((mean_x - radius) / TILE).astype(jnp.int32)
+    ty0 = jnp.floor((mean_y - radius) / TILE).astype(jnp.int32)
+    tx1 = jnp.floor((mean_x + radius) / TILE).astype(jnp.int32)
+    ty1 = jnp.floor((mean_y + radius) / TILE).astype(jnp.int32)
+    n_truncated = jnp.sum(
+        ((tx1 - tx0 + 1 > side) | (ty1 - ty0 + 1 > side)) & valid)
+
+    s2 = side * side
+    di = jax.lax.broadcasted_iota(jnp.int32, (s2, 1), 0) // side
+    dj = jax.lax.broadcasted_iota(jnp.int32, (s2, 1), 0) % side
+    cand_y = ty0[None, :] + di
+    cand_x = tx0[None, :] + dj
+    pair_ok = (valid[None, :]
+               & (cand_x >= 0) & (cand_x < tiles_x)
+               & (cand_y >= 0) & (cand_y < tiles_y)
+               & (cand_x <= tx1[None, :]) & (cand_y <= ty1[None, :]))
+    pair_tile = jnp.where(pair_ok, cand_y * tiles_x + cand_x, n_tiles)
+
+    m_pairs = s2 * n
+    tile_flat = pair_tile.reshape(-1)
+    depth_flat = jnp.broadcast_to(depth[None, :], (s2, n)).reshape(-1)
+    gidx_flat = jnp.broadcast_to(
+        jax.lax.broadcasted_iota(jnp.int32, (1, n), 1), (s2, n)).reshape(-1)
+    sorted_tile, _, sorted_gauss = jax.lax.sort(
+        (tile_flat, depth_flat, gidx_flat), num_keys=2)
+
+    # ---- chunk-aligned segment layout ----
+    tids = jnp.arange(n_tiles, dtype=jnp.int32)
+    starts = jnp.searchsorted(sorted_tile, tids, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(sorted_tile, tids, side="right").astype(jnp.int32)
+    lens = ends - starts
+    nchunks = (lens + CHUNK - 1) // CHUNK
+    chunk_cum = jnp.cumsum(nchunks).astype(jnp.int32)    # inclusive
+    first_chunk = (chunk_cum - nchunks).astype(jnp.int32)
+
+    n_chunks_total = m_pairs // CHUNK + n_tiles + 1      # static bound
+    m_pad = n_chunks_total * CHUNK
+    slot = jnp.arange(m_pad, dtype=jnp.int32)
+    slot_tile = jnp.searchsorted(chunk_cum, slot // CHUNK,
+                                 side="right").astype(jnp.int32)
+    st_c = jnp.clip(slot_tile, 0, n_tiles - 1)
+    off = slot - first_chunk[st_c] * CHUNK
+    src = starts[st_c] + off
+    valid_slot = (slot_tile < n_tiles) & (off < lens[st_c])
+    idx = jnp.where(valid_slot,
+                    sorted_gauss[jnp.clip(src, 0, m_pairs - 1)], n)
+
+    pairs = packed[idx]                                   # (m_pad, 10) — diff gather
+    pairs3d = jnp.transpose(
+        pairs.reshape(n_chunks_total, CHUNK, 10), (0, 2, 1))  # (NC, 10, CH)
+
+    composite = _make_composite(n_tiles, tiles_x, n_chunks_total, interpret)
+    out = composite(pairs3d, first_chunk, nchunks)        # (n_tiles, PX, 8)
+
+    T = jnp.exp(out[..., 5])                              # (n_tiles, PX)
+    rgb_tiles = out[..., 0:3] + T[..., None] * background[None, None]
+    alpha_tiles = 1.0 - T
+
+    def tiles_to_image(tiles, chn):
+        img = tiles.reshape(tiles_y, tiles_x, TILE, TILE, chn)
+        img = img.transpose(0, 2, 1, 3, 4).reshape(
+            tiles_y * TILE, tiles_x * TILE, chn)
+        return img[:height, :width]
+
+    result = {
+        "render": tiles_to_image(
+            rgb_tiles.reshape(n_tiles, TILE * TILE, 3), 3),
+        "alpha": tiles_to_image(
+            alpha_tiles.reshape(n_tiles, TILE * TILE)[..., None], 1)[..., 0],
+        "radii": radius,
+        "means2d": jnp.stack([mean_x, mean_y], axis=-1),
+        "visibility": valid & (radius > 0),
+        "n_truncated": n_truncated,
+    }
+    if render_depth:
+        depth_tiles = out[..., 4] / jnp.clip(alpha_tiles, 1e-10)
+        result["depth"] = tiles_to_image(
+            depth_tiles.reshape(n_tiles, TILE * TILE)[..., None], 1)[..., 0]
+    return result

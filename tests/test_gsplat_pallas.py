@@ -1,0 +1,124 @@
+"""Pallas 3DGS rasterizer parity tests (interpret mode on CPU).
+
+Forward vs the brute-force numpy compositor, backward vs the XLA path's
+autodiff gradients. The on-chip (compiled) path is exercised by bench.py and
+the avatar trainer on real TPU hardware.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cap4d_tpu.ops.gsplat import rasterize_gaussians
+from cap4d_tpu.ops.gsplat_pallas import rasterize_gaussians_pallas
+
+from tests.test_gsplat import _scene, numpy_render
+
+
+@pytest.mark.parametrize("sh_degree", [0, 3])
+def test_pallas_forward_matches_bruteforce(sh_degree):
+    means, quats, scales, opac, sh, viewmat, K = _scene()
+    W = H = 64
+    bg = np.array([1.0, 1.0, 1.0], np.float32)
+    out = rasterize_gaussians_pallas(
+        jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+        jnp.asarray(opac), jnp.asarray(sh), jnp.asarray(viewmat), jnp.asarray(K),
+        W, H, sh_degree=sh_degree, background=jnp.asarray(bg),
+        max_tiles_per_gaussian=36, interpret=True,
+    )
+    ref_img, ref_alpha = numpy_render(
+        means, quats, scales, opac, sh, viewmat, K, W, H, sh_degree, bg)
+    assert int(out["n_truncated"]) == 0
+    # early termination at T<1e-4 bounds the compositing error at ~1e-4
+    np.testing.assert_allclose(np.asarray(out["render"]), ref_img, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out["alpha"]), ref_alpha, atol=2e-3)
+
+
+def test_pallas_gradients_match_xla():
+    """Backward (custom VJP replay) vs the XLA path's autodiff, same loss."""
+    means, quats, scales, opac, sh, viewmat, K = _scene(n=40, seed=3)
+    W = H = 32
+    target = jnp.zeros((H, W, 3))
+
+    def make_loss(raster, **kw):
+        def loss_fn(means3d, scales_, opac_, sh_, m2d_off):
+            out = raster(
+                means3d, jnp.asarray(quats), scales_, opac_, sh_,
+                jnp.asarray(viewmat), jnp.asarray(K), W, H, sh_degree=1,
+                max_tiles_per_gaussian=36, means2d_offset=m2d_off,
+                render_depth=True, **kw)
+            return (jnp.mean((out["render"] - target) ** 2)
+                    + 0.1 * jnp.mean(out["alpha"])
+                    + 0.01 * jnp.mean(out["depth"] * out["alpha"]))
+        return loss_fn
+
+    args = (jnp.asarray(means), jnp.asarray(scales), jnp.asarray(opac),
+            jnp.asarray(sh), jnp.zeros((len(means), 2)))
+    g_xla = jax.grad(make_loss(rasterize_gaussians, max_per_tile=64,
+                               tile_chunk=4), argnums=(0, 1, 2, 3, 4))(*args)
+    g_pal = jax.grad(make_loss(rasterize_gaussians_pallas, interpret=True),
+                     argnums=(0, 1, 2, 3, 4))(*args)
+    names = ["means", "scales", "opac", "sh", "means2d_offset"]
+    for name, gx, gp in zip(names, g_xla, g_pal):
+        gx, gp = np.asarray(gx), np.asarray(gp)
+        assert np.isfinite(gp).all(), name
+        scale = np.abs(gx).max() + 1e-12
+        np.testing.assert_allclose(gp / scale, gx / scale, atol=5e-4,
+                                   err_msg=name)
+
+
+def test_pallas_deep_stack_no_truncation():
+    """>192 gaussians on one tile: XLA path truncates (n_truncated via cap),
+    the Pallas path composites exactly — its only cap is the tile footprint."""
+    n = 300
+    rng = np.random.default_rng(7)
+    means = np.concatenate([
+        rng.normal(scale=0.002, size=(n, 2)),
+        np.linspace(2.0, 4.0, n)[:, None],
+    ], axis=1).astype(np.float32)
+    quats = np.tile(np.array([1.0, 0, 0, 0], np.float32), (n, 1))
+    scales = np.full((n, 3), 0.02, np.float32)
+    opac = np.full((n,), 0.05, np.float32)
+    sh = np.zeros((n, 1, 3), np.float32)
+    sh[:, 0] = rng.uniform(-0.3, 0.3, size=(n, 3))
+    viewmat = np.eye(4, dtype=np.float32)
+    K = np.array([[100.0, 0, 16], [0, 100.0, 16], [0, 0, 1]], np.float32)
+
+    out = rasterize_gaussians_pallas(
+        jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+        jnp.asarray(opac), jnp.asarray(sh), jnp.asarray(viewmat),
+        jnp.asarray(K), 32, 32, sh_degree=0, max_tiles_per_gaussian=16,
+        interpret=True)
+    bg = np.ones(3, np.float32)
+    ref_img, ref_alpha = numpy_render(
+        means, quats, scales, opac, sh, viewmat, K, 32, 32, 0, bg)
+    np.testing.assert_allclose(np.asarray(out["render"]), ref_img, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out["alpha"]), ref_alpha, atol=2e-3)
+
+
+def test_pallas_depth_far_clip_and_mask():
+    means, quats, scales, opac, sh, viewmat, K = _scene(n=20, seed=4)
+    out = rasterize_gaussians_pallas(
+        jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+        jnp.asarray(opac), jnp.asarray(sh), jnp.asarray(viewmat), jnp.asarray(K),
+        32, 32, sh_degree=0, render_depth=True, max_tiles_per_gaussian=36,
+        interpret=True)
+    d = np.asarray(out["depth"])
+    covered = np.asarray(out["alpha"]) > 0.1
+    assert (d[covered] > 2.0).all() and (d[covered] < 4.0).all()
+
+    out2 = rasterize_gaussians_pallas(
+        jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+        jnp.asarray(opac), jnp.asarray(sh), jnp.asarray(viewmat), jnp.asarray(K),
+        32, 32, sh_degree=0, far=1.0, max_tiles_per_gaussian=36,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(out2["alpha"]), 0.0, atol=1e-6)
+
+    mask = jnp.zeros(len(means), bool)
+    out3 = rasterize_gaussians_pallas(
+        jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+        jnp.asarray(opac), jnp.asarray(sh), jnp.asarray(viewmat), jnp.asarray(K),
+        32, 32, sh_degree=0, mask=mask, max_tiles_per_gaussian=36,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(out3["alpha"]), 0.0, atol=1e-6)
