@@ -15,9 +15,17 @@ spatial_lr_scale)`` — all in the same activation domains this framework uses
 transformation; only layouts change (torch conv kernels → flax HWIO, torch
 Sequential key paths → flax module names).
 
-Adam moments are NOT imported: the torch optimizer state_dict keys params by
-opaque group index and this framework re-derives fresh moments; continued
-fine-tuning re-warms in a few hundred iterations.
+Adam moments ARE imported (and exported): the torch optimizer state_dict keys
+params by global registration index; the reference's group order is fixed
+(xyz, f_dc, f_rest, opacity, scaling, rotation from gaussian_model.py:215-222,
+then deform_net added at cap4d_gaussian_model.py:385-392), so the mapping is
+deterministic.
+
+The reverse direction, :func:`save_reference_checkpoint`, writes a
+``torch.save((capture, iteration))`` file the reference's ``train.py:248`` /
+``animate.py:101`` can load unchanged; framework-only state (neck embedding,
+full flame bank, deform/neck moments) rides along under an extra
+``cap4d_tpu_extras`` key that the reference's ``restore`` never touches.
 """
 
 from __future__ import annotations
@@ -95,6 +103,172 @@ def convert_deform_net_state_dict(sd: Dict[str, Any],
     return params
 
 
+def _torch_param_order(num_downs: int):
+    """(flax_group, leaf, is_transposed_conv) per torch parameter, in torch
+    registration order: down 0..d-1 (depth-first into nested Sequentials),
+    then up d-1..0 on the way back out. Each conv contributes weight, bias."""
+    order = []
+    for i in range(num_downs):
+        order += [(f"down_{i}", "kernel", False), (f"down_{i}", "bias", False)]
+    for i in reversed(range(num_downs)):
+        order += [(f"up_{i}", "kernel", True), (f"up_{i}", "bias", True)]
+    return order
+
+
+def _flax_kernel_to_torch(w: np.ndarray, transposed: bool) -> np.ndarray:
+    """Inverse of the layout transforms in convert_deform_net_state_dict."""
+    if transposed:  # (kh,kw,I,O) flipped → torch ConvTranspose2d (I,O,kh,kw)
+        return np.ascontiguousarray(w[::-1, ::-1].transpose(2, 3, 0, 1))
+    return np.ascontiguousarray(w.transpose(3, 2, 0, 1))  # → Conv2d (O,I,kh,kw)
+
+
+def _torch_kernel_to_flax(w: np.ndarray, transposed: bool) -> np.ndarray:
+    if transposed:
+        return np.ascontiguousarray(w.transpose(2, 3, 0, 1)[::-1, ::-1])
+    return np.ascontiguousarray(w.transpose(2, 3, 1, 0))
+
+
+def flax_deform_to_torch_state_dict(params: Dict[str, Any], num_downs: int):
+    """Flax UnetGenerator params → torch UnetGenerator state_dict (reference
+    key paths, registration order)."""
+    import torch
+
+    from collections import OrderedDict
+
+    paths = list(_level_paths(num_downs))
+    sd = OrderedDict()
+    for i in range(num_downs):
+        w = _flax_kernel_to_torch(np.asarray(params[f"down_{i}"]["kernel"]), False)
+        sd[f"{paths[i][0]}.weight"] = torch.from_numpy(w)
+        sd[f"{paths[i][0]}.bias"] = torch.from_numpy(
+            np.asarray(params[f"down_{i}"]["bias"]))
+    for i in reversed(range(num_downs)):
+        w = _flax_kernel_to_torch(np.asarray(params[f"up_{i}"]["kernel"]), True)
+        sd[f"{paths[i][1]}.weight"] = torch.from_numpy(w)
+        sd[f"{paths[i][1]}.bias"] = torch.from_numpy(
+            np.asarray(params[f"up_{i}"]["bias"]))
+    return sd
+
+
+# reference Adam group order (gaussian_model.py:215-222 + deform_net group)
+_GAUSS_GROUPS = ("xyz", "f_dc", "f_rest", "opacity", "scaling", "rotation")
+_GROUP_TO_FIELD = {"xyz": "xyz", "f_dc": "features_dc",
+                   "f_rest": "features_rest", "opacity": "opacity",
+                   "scaling": "scaling", "rotation": "rotation"}
+
+
+def build_reference_capture(trainer, iteration: int) -> Dict[str, Any]:
+    """AvatarTrainer state → the reference's capture dict (torch leaves).
+
+    Only ACTIVE gaussians are exported (the reference store is exact-size);
+    index order is preserved so moments stay aligned with their params."""
+    import torch
+
+    tt = lambda a, dt=np.float32: torch.from_numpy(
+        np.ascontiguousarray(np.asarray(a, dtype=dt)))
+
+    active = np.asarray(trainer.gauss_aux.active)
+    idx = np.nonzero(active)[0]
+    gp = trainer.gauss_params
+    aux = trainer.gauss_aux
+    sel = lambda a: np.asarray(a)[idx]
+
+    num_downs = int(trainer.config.n_unet_layers)
+    deform_sd = flax_deform_to_torch_state_dict(
+        jax.tree.map(np.asarray, trainer.deform_params), num_downs)
+
+    # torch Adam state_dict: params indexed globally in group order
+    state, pidx = {}, 0
+    step_t = torch.tensor(float(iteration))
+
+    def add_state(m, v):
+        nonlocal pidx
+        state[pidx] = {"step": step_t,
+                       "exp_avg": tt(m), "exp_avg_sq": tt(v)}
+        pidx += 1
+
+    for gname in _GAUSS_GROUPS:
+        f = _GROUP_TO_FIELD[gname]
+        add_state(sel(getattr(trainer.moments["gauss_m"], f)),
+                  sel(getattr(trainer.moments["gauss_v"], f)))
+    dm = jax.tree.map(np.asarray, trainer.moments["deform_m"])
+    dv = jax.tree.map(np.asarray, trainer.moments["deform_v"])
+    deform_param_ids = []
+    for grp, leaf, transposed in _torch_param_order(num_downs):
+        m, v = dm[grp][leaf], dv[grp][leaf]
+        if leaf == "kernel":
+            m = _flax_kernel_to_torch(m, transposed)
+            v = _flax_kernel_to_torch(v, transposed)
+        deform_param_ids.append(pidx)
+        add_state(m, v)
+
+    opt_state = {
+        "state": state,
+        "param_groups": [
+            {"lr": 0.0, "betas": (0.9, 0.999), "eps": 1e-15,
+             "weight_decay": 0, "amsgrad": False, "maximize": False,
+             "foreach": None, "capturable": False, "differentiable": False,
+             "fused": None, "name": g, "params": [i]}
+            for i, g in enumerate(_GAUSS_GROUPS)
+        ] + [
+            {"lr": 0.0, "betas": (0.9, 0.999), "eps": 1e-15,
+             "weight_decay": float(trainer.opt.get("deform_net_w_decay", 0.0)),
+             "amsgrad": False, "maximize": False, "foreach": None,
+             "capturable": False, "differentiable": False, "fused": None,
+             "name": "deform_net", "params": deform_param_ids}
+        ],
+    }
+
+    gauss_tuple = (
+        int(trainer.active_sh_degree),
+        tt(sel(gp.xyz)),
+        tt(sel(gp.features_dc)),
+        tt(sel(gp.features_rest)),
+        tt(sel(gp.scaling)),
+        tt(sel(gp.rotation)),
+        tt(sel(gp.opacity)),
+        torch.from_numpy(np.asarray(aux.binding)[idx].astype(np.int64)),
+        torch.from_numpy(np.asarray(aux.binding_counter).astype(np.int32)),
+        tt(sel(aux.max_radii2d)),
+        tt(sel(aux.xyz_gradient_accum)[:, None]),
+        tt(sel(aux.denom)[:, None]),
+        opt_state,
+        float(getattr(trainer, "spatial_lr_scale", 1.0)),
+    )
+
+    bank = {k: np.asarray(v) for k, v in trainer.flame_bank.items()}
+    shape_key = "shape" if "shape" in bank else "betas"
+    capture = {
+        shape_key: tt(bank[shape_key]),
+        "base_rot": tt(bank["base_rot"]),
+        "deform_net": deform_sd,
+        "gaussians": gauss_tuple,
+        # framework-only state the reference restore ignores; lets OUR loader
+        # resume with zero fidelity loss from the same file
+        "cap4d_tpu_extras": {
+            "bank": bank,
+            "neck_weight": np.asarray(trainer.neck_weight),
+            "neck_m": np.asarray(trainer.moments["neck_m"]),
+            "neck_v": np.asarray(trainer.moments["neck_v"]),
+            # raster caps grow during the fit (train loop truncation watch);
+            # restoring them keeps resumed renders bit-identical
+            "max_per_tile": int(trainer.max_per_tile),
+            "max_tiles_per_gaussian": int(trainer.max_tiles_per_gaussian),
+        },
+    }
+    return capture
+
+
+def save_reference_checkpoint(trainer, path: Path, iteration: int) -> Path:
+    """torch.save((capture, iteration)) in the reference's exact layout
+    (train.py:248); loadable by the reference's animate.py:101."""
+    import torch
+
+    torch.save((build_reference_capture(trainer, iteration), iteration),
+               str(path))
+    return Path(path)
+
+
 def load_reference_avatar_checkpoint(path: Path) -> Tuple[Dict[str, Any], int]:
     """Read a reference torch chkpnt*.pth → (capture dict with numpy leaves,
     iteration). Requires torch (cpu build is fine)."""
@@ -116,7 +290,7 @@ def restore_reference_checkpoint(trainer, chkpt: Dict[str, Any]) -> None:
     g = chkpt["gaussians"]
     (active_sh_degree, xyz, f_dc, f_rest, scaling, rotation, opacity,
      binding, binding_counter, max_radii2d, grad_accum, denom,
-     _opt_state, _spatial_lr_scale) = g
+     opt_state, spatial_lr_scale) = g
 
     xyz = _to_np(xyz).astype(np.float32)
     n = xyz.shape[0]
@@ -156,9 +330,75 @@ def restore_reference_checkpoint(trainer, chkpt: Dict[str, Any]) -> None:
         denom=pad(np.ravel(_to_np(denom))),
     )
     trainer.active_sh_degree = int(active_sh_degree)
-    for key in ("gauss_m", "gauss_v"):
-        trainer.moments[key] = jax.tree.map(jnp.zeros_like,
-                                            trainer.moments[key])
+    trainer.spatial_lr_scale = float(spatial_lr_scale) or 1.0
+
+    # Adam moment import (group order is fixed — see module docstring);
+    # fall back to zeros when the state is absent/empty (e.g. pre-training)
+    num_downs = int(getattr(trainer.config, "n_unet_layers", 6))
+    name_to_ids = {pg.get("name"): pg["params"]
+                   for pg in opt_state.get("param_groups", [])} if opt_state else {}
+    st = opt_state.get("state", {}) if opt_state else {}
+
+    def moment_pair(param_id):
+        s = st.get(param_id)
+        if s is None:
+            return None, None
+        return (_to_np(s["exp_avg"]).astype(np.float32),
+                _to_np(s["exp_avg_sq"]).astype(np.float32))
+
+    gm, gv = {}, {}
+    for gname, field in (("xyz", "xyz"), ("f_dc", "features_dc"),
+                         ("f_rest", "features_rest"), ("opacity", "opacity"),
+                         ("scaling", "scaling"), ("rotation", "rotation")):
+        tmpl = getattr(trainer.gauss_params, field)
+        m = v = None
+        if gname in name_to_ids and name_to_ids[gname]:
+            m, v = moment_pair(name_to_ids[gname][0])
+        if m is None:
+            gm[field] = jnp.zeros_like(tmpl)
+            gv[field] = jnp.zeros_like(tmpl)
+        else:
+            buf_m = np.zeros(tmpl.shape, np.float32)
+            buf_v = np.zeros(tmpl.shape, np.float32)
+            buf_m[:n] = m.reshape((n,) + tmpl.shape[1:])
+            buf_v[:n] = v.reshape((n,) + tmpl.shape[1:])
+            gm[field] = jnp.asarray(buf_m)
+            gv[field] = jnp.asarray(buf_v)
+    trainer.moments["gauss_m"] = G.GaussianParams(**gm)
+    trainer.moments["gauss_v"] = G.GaussianParams(**gv)
+
+    if "deform_net" in name_to_ids:
+        ids = name_to_ids["deform_net"]
+        dm = jax.tree.map(np.zeros_like,
+                          jax.tree.map(np.asarray, trainer.deform_params))
+        dv = jax.tree.map(np.zeros_like, dm)
+        order = _torch_param_order(num_downs)
+        if len(ids) == len(order):
+            ok = True
+            for pid, (grp, leaf, transposed) in zip(ids, order):
+                m, v = moment_pair(pid)
+                if m is None:
+                    ok = False
+                    break
+                if leaf == "kernel":
+                    m = _torch_kernel_to_flax(m, transposed)
+                    v = _torch_kernel_to_flax(v, transposed)
+                dm[grp][leaf] = m
+                dv[grp][leaf] = v
+            if ok:
+                trainer.moments["deform_m"] = jax.tree.map(jnp.asarray, dm)
+                trainer.moments["deform_v"] = jax.tree.map(jnp.asarray, dv)
+
+    extras = chkpt.get("cap4d_tpu_extras")
+    if extras is not None:
+        for k, vv in extras["bank"].items():
+            trainer.flame_bank[k] = jnp.asarray(vv)
+        trainer.neck_weight = jnp.asarray(extras["neck_weight"])
+        trainer.moments["neck_m"] = jnp.asarray(extras["neck_m"])
+        trainer.moments["neck_v"] = jnp.asarray(extras["neck_v"])
+        if "max_per_tile" in extras:
+            trainer.max_per_tile = int(extras["max_per_tile"])
+            trainer.max_tiles_per_gaussian = int(extras["max_tiles_per_gaussian"])
 
     shape_key = "shape" if "shape" in trainer.flame_bank else "betas"
     ref_shape = chkpt.get("shape", chkpt.get("betas"))

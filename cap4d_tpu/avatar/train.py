@@ -208,6 +208,20 @@ def training(
         if iteration % 10 == 0 or iteration == n_iter:
             total = float(losses["total"])
             ema_loss = 0.4 * total + 0.6 * ema_loss
+            # splats dropped by a rasterizer cap bias the render and the
+            # densification gradients invisibly — raise the cap and recompile,
+            # exactly like n_dropped → grow_capacity above
+            tr_foot = int(losses["n_truncated"])
+            tr_depth = int(losses["n_truncated_depth"])
+            if tr_foot or tr_depth:
+                trainer.grow_raster_caps(footprint=tr_foot > 0,
+                                         depth=tr_depth > 0)
+                step_fns.clear()
+                print(f"[ITER {iteration}] raster caps raised "
+                      f"(footprint_truncated={tr_foot}, "
+                      f"depth_truncated={tr_depth}) -> "
+                      f"max_tiles_per_gaussian={trainer.max_tiles_per_gaussian}, "
+                      f"max_per_tile={trainer.max_per_tile} (recompile)")
             metrics_fh.write(json.dumps(
                 {"iter": iteration, "loss": total,
                  **{k: float(v) for k, v in losses.items()}}) + "\n")

@@ -47,6 +47,34 @@ from cap4d_tpu.avatar.scene import SceneInfo
 from cap4d_tpu.flame.compute import load_cap4d_flame_model
 from cap4d_tpu.flame.skinner import FlameModel
 from cap4d_tpu.ops.gsplat import rasterize_gaussians
+from cap4d_tpu.ops.gsplat_pallas import rasterize_gaussians_pallas
+
+
+def resolve_raster_backend(backend: str = "auto") -> str:
+    """'pallas' (TPU tile kernel, exact compositing) or 'xla' (portable
+    sort+cumsum fallback). 'auto' picks pallas on TPU."""
+    if backend == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return backend
+
+
+def make_raster(backend: str, width: int, height: int, sh_degree: int,
+                max_per_tile: int, max_tiles_per_gaussian: int,
+                render_depth: bool = False, far: Optional[float] = None):
+    """Partial rasterizer for one static signature.
+
+    The pallas path has no per-tile compositing cap (max_per_tile is ignored:
+    compositing is exact at any overlap depth); only the side² tile-footprint
+    cap max_tiles_per_gaussian applies to both."""
+    kw = dict(width=width, height=height, sh_degree=sh_degree,
+              max_tiles_per_gaussian=max_tiles_per_gaussian,
+              render_depth=render_depth)
+    if far is not None:
+        kw["far"] = far
+    if resolve_raster_backend(backend) == "pallas":
+        return partial(rasterize_gaussians_pallas, **kw)
+    return partial(rasterize_gaussians, max_per_tile=max_per_tile,
+                   tile_chunk=64, **kw)
 
 
 def expon_lr(step, lr_init, lr_final, lr_delay_steps=0, lr_delay_mult=1.0,
@@ -89,6 +117,22 @@ class AvatarTrainer:
     active_sh_degree: int = 0
     iteration: int = 0
     _render_fns: Dict = None
+    # rasterizer knobs — raising either is a recompile boundary, done by the
+    # train loop when the step reports truncation (like n_dropped→grow_capacity)
+    raster_backend: str = "auto"
+    max_per_tile: int = 192
+    max_tiles_per_gaussian: int = 9
+    spatial_lr_scale: float = 1.0   # reference cameras_extent (scene.py:125)
+
+    def grow_raster_caps(self, footprint: bool, depth: bool) -> None:
+        """Raise the truncating cap(s); caller must rebuild step fns."""
+        if footprint:
+            side = int(self.max_tiles_per_gaussian ** 0.5) + 2
+            self.max_tiles_per_gaussian = side * side
+        if depth:
+            self.max_per_tile = self.max_per_tile * 2
+        if self._render_fns:
+            self._render_fns.clear()
 
     # ------------------------------------------------------------------ build
 
@@ -162,6 +206,7 @@ class AvatarTrainer:
             gauss_params=gp, gauss_aux=ga, deform_params=deform_params,
             neck_weight=neck, flame_bank=bank, moments=moments,
             lpips=lpips or LPIPS(params=None),
+            spatial_lr_scale=float(getattr(scene, "cameras_extent", 1.0)),
         )
 
     @classmethod
@@ -236,6 +281,7 @@ class AvatarTrainer:
             gauss_params=gp, gauss_aux=ga, deform_params=deform_params,
             neck_weight=neck, flame_bank=bank, moments=moments,
             lpips=lpips or LPIPS(params=None),
+            spatial_lr_scale=float(getattr(scene, "cameras_extent", 1.0)),
         )
 
     def grow_capacity(self, new_capacity: int) -> None:
@@ -305,9 +351,9 @@ class AvatarTrainer:
         lpips = self.lpips
         static_neck = cfg.static_neck
 
-        raster = partial(
-            rasterize_gaussians, width=width, height=height, sh_degree=sh_degree,
-            max_per_tile=192, max_tiles_per_gaussian=9, tile_chunk=64,
+        raster = make_raster(
+            self.raster_backend, width, height, sh_degree,
+            self.max_per_tile, self.max_tiles_per_gaussian,
         )
 
         def loss_fn(trainable, aux, bank, cam, gt_image, mask, t, lambda_lpips):
@@ -420,6 +466,10 @@ class AvatarTrainer:
                        "deform_m": deform_m, "deform_v": deform_v,
                        "neck_m": neck_m, "neck_v": neck_v}
             losses["total"] = total
+            # truncation counters ride the same fetch as the losses so the
+            # train loop can raise the caps (VERDICT: no silent truncation)
+            losses["n_truncated"] = out["n_truncated"]
+            losses["n_truncated_depth"] = out["n_truncated_depth"]
             return gp, dp, neck, aux, moments, losses, image
 
         return jax.jit(step, donate_argnums=(0, 1, 2, 3, 4))
@@ -449,19 +499,21 @@ class AvatarTrainer:
             deform_net = make_deform_net(cfg)
             static_neck = cfg.static_neck
 
+            raster = make_raster(
+                self.raster_backend, cam.width, cam.height, sh_deg,
+                self.max_per_tile, self.max_tiles_per_gaussian,
+                render_depth=compute_depth)
+
             def fn(gp, aux, dp, neck, bank, rt, K, t, far):
                 offset = jnp.zeros(3) if static_neck else neck[t]
                 mesh = variant.mesh_props(deform_net, dp, bank, t, offset)
                 world = G.world_gaussians(gp, aux, mesh.face_center,
                                           mesh.face_orient, mesh.face_quat,
                                           mesh.face_scaling)
-                return rasterize_gaussians(
+                return raster(
                     world["means3d"], world["quats"], world["scales"],
                     world["opacities"], world["sh"], rt, K,
-                    cam.width, cam.height, sh_degree=sh_deg, far=far,
-                    render_depth=compute_depth,
-                    max_per_tile=192, max_tiles_per_gaussian=9,
-                    mask=aux.active,
+                    far=far, mask=aux.active,
                 )
 
             self._render_fns[key] = jax.jit(fn)
@@ -493,10 +545,19 @@ class AvatarTrainer:
         }
 
     def save_checkpoint(self, model_path: Path, iteration: int) -> Path:
+        """chkpnt{iter}.pth in the reference's torch.save layout (train.py:248)
+        so reference animate.py/train.py can load it directly; framework-only
+        state rides along under an ignored extra key. Falls back to a plain
+        pickle of the native capture when torch is unavailable."""
         path = Path(model_path) / f"chkpnt{iteration}.pth"
-        with open(path, "wb") as fh:
-            pickle.dump((self.capture(), iteration), fh)
-        return path
+        try:
+            from cap4d_tpu.avatar.convert_ref import save_reference_checkpoint
+
+            return save_reference_checkpoint(self, path, iteration)
+        except ImportError:
+            with open(path, "wb") as fh:
+                pickle.dump((self.capture(), iteration), fh)
+            return path
 
     def restore(self, chkpt: Dict[str, Any]) -> None:
         shape_key = "shape" if "shape" in self.flame_bank else "betas"

@@ -316,6 +316,10 @@ def rasterize_gaussians(
         sorted_tile, jnp.arange(n_tiles, dtype=jnp.int32), side="right"
     )
     seg_len = ends - starts
+    # pairs silently dropped by the per-tile compositing cap — reported
+    # separately from the footprint truncation so callers can raise the
+    # right knob (max_per_tile vs max_tiles_per_gaussian)
+    n_truncated_depth = jnp.sum(jnp.maximum(seg_len - max_per_tile, 0))
     n_pairs = sorted_gauss.shape[0]
     k_iota = jnp.arange(max_per_tile, dtype=jnp.int32)
     gather_pos = starts[:, None] + k_iota[None, :]            # (n_tiles, K)
@@ -414,6 +418,7 @@ def rasterize_gaussians(
         "means2d": means2d,
         "visibility": valid & (radii > 0),
         "n_truncated": n_truncated,
+        "n_truncated_depth": n_truncated_depth,
     }
     if render_depth:
         depth_tiles = outs[2].reshape(n_tiles_pad, px_in_tile)[:n_tiles]

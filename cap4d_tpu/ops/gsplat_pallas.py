@@ -463,6 +463,8 @@ def rasterize_gaussians_pallas(
         "means2d": jnp.stack([mean_x, mean_y], axis=-1),
         "visibility": valid & (radius > 0),
         "n_truncated": n_truncated,
+        # compositing is exact at any overlap depth — no per-tile cap exists
+        "n_truncated_depth": jnp.zeros((), jnp.int32),
     }
     if render_depth:
         depth_tiles = out[..., 4] / jnp.clip(alpha_tiles, 1e-10)

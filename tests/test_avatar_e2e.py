@@ -109,17 +109,22 @@ def test_render_and_checkpoint_roundtrip(fitted):
     assert img.shape == (RES, RES, 3)
     assert np.isfinite(img).all()
 
-    # restore into a fresh trainer → identical render
-    import pickle
-
+    # restore into a fresh trainer → identical render (checkpoints are now
+    # written in the reference torch layout; load through the same path the
+    # CLIs use)
+    from cap4d_tpu.avatar.convert_ref import (
+        is_torch_checkpoint,
+        load_reference_avatar_checkpoint,
+        restore_reference_checkpoint,
+    )
     from cap4d_tpu.avatar.trainer import AvatarTrainer
 
     t2 = AvatarTrainer.create(scene, MODEL_PARAMS, OPT_PARAMS,
                               flame_asset_dir=flame_dir)
-    with open(model_path / "chkpnt10.pth", "rb") as fh:
-        chkpt, it = pickle.load(fh)
+    assert is_torch_checkpoint(model_path / "chkpnt10.pth")
+    chkpt, it = load_reference_avatar_checkpoint(model_path / "chkpnt10.pth")
     assert it == 10
-    t2.restore(chkpt)
+    restore_reference_checkpoint(t2, chkpt)
     out2 = t2.render_camera(cam, cam.timestep)
     np.testing.assert_allclose(np.asarray(out2["render"]), img, atol=1e-5)
 

@@ -117,6 +117,42 @@ def test_gradients_flow():
         assert np.abs(arr).sum() > 0, f"zero grad for {name}"
 
 
+def test_deep_stack_reports_depth_truncation():
+    """>max_per_tile gaussians on one tile must be COUNTED, not silently
+    dropped (VERDICT weak #3); raising the cap drives the count to zero."""
+    n = 120
+    rng = np.random.default_rng(11)
+    means = np.concatenate([
+        rng.normal(scale=0.002, size=(n, 2)),
+        np.linspace(2.0, 4.0, n)[:, None],
+    ], axis=1).astype(np.float32)
+    quats = np.tile(np.array([1.0, 0, 0, 0], np.float32), (n, 1))
+    scales = np.full((n, 3), 0.02, np.float32)
+    opac = np.full((n,), 0.05, np.float32)
+    sh = np.zeros((n, 1, 3), np.float32)
+    viewmat = np.eye(4, dtype=np.float32)
+    K = np.array([[100.0, 0, 16], [0, 100.0, 16], [0, 0, 1]], np.float32)
+    args = [jnp.asarray(x) for x in (means, quats, scales, opac, sh, viewmat, K)]
+
+    out = rasterize_gaussians(*args, 32, 32, sh_degree=0, max_per_tile=64,
+                              max_tiles_per_gaussian=16, tile_chunk=16)
+    assert int(out["n_truncated_depth"]) > 0
+    out2 = rasterize_gaussians(*args, 32, 32, sh_degree=0, max_per_tile=512,
+                               max_tiles_per_gaussian=16, tile_chunk=16)
+    assert int(out2["n_truncated_depth"]) == 0
+
+
+def test_trainer_grow_raster_caps():
+    from cap4d_tpu.avatar.trainer import AvatarTrainer
+
+    t = AvatarTrainer.__new__(AvatarTrainer)
+    t.max_per_tile = 192
+    t.max_tiles_per_gaussian = 9
+    t._render_fns = None
+    t.grow_raster_caps(footprint=True, depth=True)
+    assert t.max_tiles_per_gaussian == 25 and t.max_per_tile == 384
+
+
 def test_depth_mode_and_far_clip():
     means, quats, scales, opac, sh, viewmat, K = _scene(n=20, seed=4)
     out = rasterize_gaussians(
