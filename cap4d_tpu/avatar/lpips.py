@@ -56,12 +56,14 @@ class LPIPSNet(nn.Module):
         scale = jnp.asarray(_SCALE)
         x = (x - shift) / scale
         y = (y - shift) / scale
-        fx = VGG16Features(name="vgg")(x)
-        fy = VGG16Features(name="vgg")(y)
+        vgg = VGG16Features(name="vgg")  # shared weights for both inputs
+        fx = vgg(x)
+        fy = vgg(y)
         total = 0.0
         for k, (a, b) in enumerate(zip(fx, fy)):
-            a = a / jnp.sqrt(jnp.sum(a**2, axis=-1, keepdims=True) + 1e-10)
-            b = b / jnp.sqrt(jnp.sum(b**2, axis=-1, keepdims=True) + 1e-10)
+            # eps OUTSIDE the sqrt (modules/utils.py:6-8: x / (norm + eps))
+            a = a / (jnp.sqrt(jnp.sum(a**2, axis=-1, keepdims=True)) + 1e-10)
+            b = b / (jnp.sqrt(jnp.sum(b**2, axis=-1, keepdims=True)) + 1e-10)
             d = (a - b) ** 2
             w = nn.Conv(1, (1, 1), use_bias=False, name=f"lin{k}")(d)
             total = total + jnp.mean(w, axis=(1, 2, 3))
