@@ -71,8 +71,12 @@ def eval_sh_ch(sh: jnp.ndarray, dx, dy, dz, degree: int) -> jnp.ndarray:
     """Channelwise SH eval: sh (N, K, 3), unit dir channels (N,) → (3, N).
 
     Same math as :func:`eval_sh` but with N on the lane axis throughout
-    (one transpose of sh, then pure elementwise work)."""
-    sh_t = jnp.transpose(sh, (1, 2, 0))  # (K, 3, N)
+    (one transpose of sh, then pure elementwise work). The transpose goes
+    through a 2-D (N, K·3) → (K·3, N) reshape: a direct (N,K,3)→(K,3,N)
+    transpose makes XLA slice the tiny minor dims first (measured
+    21 ms/frame at N=216k on a v5e chip; this form is one clean relayout)."""
+    n, k = sh.shape[0], sh.shape[1]
+    sh_t = jnp.transpose(sh.reshape(n, k * 3)).reshape(k, 3, n)
     x, y, z = dx, dy, dz
     result = _C0 * sh_t[0]
     if degree >= 1:

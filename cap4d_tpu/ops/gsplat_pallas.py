@@ -7,26 +7,32 @@ renderer remains as the CPU/test fallback). It replaces the CUDA
 TPU-native design:
 
   * XLA side: channelwise EWA projection + SH, pair expansion (gaussian ×
-    overlapped tile), one 2-key sort by (tile, depth), and a gather that lays
-    the per-pair compositing rows out in *chunk-aligned per-tile segments* —
-    every tile's pair list starts at a CHUNK boundary and is padded to a
-    multiple of CHUNK with rows of a dummy zero-opacity gaussian.
+    overlapped tile), one sort by (tile, depth), ONE row gather into
+    depth-sorted order, and a transpose to a (10, m_pairs) channel-major
+    array. No chunk alignment or padding happens in XLA — a profiled earlier
+    revision spent 191 ms in a scalar-core searchsorted and 77 ms in a
+    segmented re-copy doing that; the kernel now addresses the sorted array
+    directly.
   * Pallas forward: one grid step per 16×16 tile. The kernel walks the
-    tile's chunks with double-buffered HBM→VMEM DMA and composites
+    tile's pair segment [start, start+len) in CHUNK-column slices via
+    double-buffered dynamic-offset HBM→VMEM DMA and composites
     front-to-back, carrying per-pixel log-transmittance; the within-chunk
     exclusive prefix of log(1−α) is one (PX,CH)@(CH,CH) triangular matmul on
     the MXU. It terminates early once every pixel's transmittance falls
-    below 1e-4 (the same threshold CUDA 3DGS uses) — unlike the XLA
-    fallback there is NO per-tile gaussian cap, so nothing is silently
-    truncated no matter how deep densification stacks a tile.
+    below 1e-4 (the same threshold CUDA 3DGS uses) — there is NO per-tile
+    gaussian cap, so nothing is silently truncated no matter how deep
+    densification stacks a tile.
   * Pallas backward (custom VJP): front-to-back replay computing exact
     per-pair gradients (means2d, conic, opacity, color, depth) using the
     suffix-sum identity  dL/dα_k = T_k·q_k − (Σ_{j>k} w_j q_j)/(1−α_k),
     with the suffix obtained from the forward's accumulated totals minus a
-    running prefix. Per-chunk gradient rows DMA back to HBM; the caller's
-    gather (pairs = packed[idx]) turns them into per-gaussian grads via
-    JAX's scatter-add adjoint, so densification's means2d grad statistics
-    keep working unchanged.
+    running prefix. Per-chunk gradient columns DMA back to HBM at the same
+    dynamic offsets (the partial-tail overlap into the next tile's segment
+    writes zeros and is overwritten by that tile's own step — grid steps
+    drain their output DMAs before finishing, so the writes are ordered);
+    the caller's gather (packed[sorted_gauss]) turns them into per-gaussian
+    grads via JAX's scatter-add adjoint, so densification's means2d grad
+    statistics keep working unchanged.
 
 Reference semantics matched: alpha threshold 1/255, alpha cap 0.999,
 front-to-back over depth-sorted pairs, white-background compositing outside
@@ -47,6 +53,7 @@ from cap4d_tpu.ops.gsplat import eval_sh_ch, project_gaussians_ch
 
 TILE = 16                 # pixels per tile side (PX = 256 pixels per tile)
 CHUNK = 128               # gaussians composited per inner step
+NCH = 16                  # packed channel rows (10 used, padded to the 8-sublane tiling)
 _LOG_TERM = -9.21034037   # log(1e-4): early-termination transmittance
 _ALPHA_MIN = 1.0 / 255.0
 _ALPHA_MAX = 0.999
@@ -67,14 +74,17 @@ def _chunk_fields(d):
     return (d[0:1], d[1:2], d[2:3], d[3:4], d[4:5], d[5:6], d[6:9], d[9:10])
 
 
-def _alpha_terms(d, px, py):
-    """Shared forward math: returns (alpha, l=log1p(-alpha), fields...)."""
+def _alpha_terms(d, px, py, colmask):
+    """Shared forward math: returns (alpha, l=log1p(-alpha), fields...).
+
+    colmask (1, CH) masks the partial tail of a tile's last chunk (those
+    columns belong to the NEXT tile's segment in the unaligned layout)."""
     mean_x, mean_y, ca, cb, cc, opac, colors, depth = _chunk_fields(d)
     dx = px - mean_x                                   # (PX, CH)
     dy = py - mean_y
     sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
     alpha_raw = opac * jnp.exp(-sigma)
-    keep = (sigma >= 0.0) & (alpha_raw >= _ALPHA_MIN)
+    keep = (sigma >= 0.0) & (alpha_raw >= _ALPHA_MIN) & colmask
     alpha = jnp.where(keep, jnp.minimum(alpha_raw, _ALPHA_MAX), 0.0)
     l = jnp.log1p(-alpha)
     return alpha, l, dx, dy, sigma, alpha_raw, keep, colors, depth
@@ -89,17 +99,29 @@ def _pixel_coords(t, tiles_x):
     return px, py
 
 
-def _fwd_kernel(first_chunk_ref, nchunks_ref, pairs_ref, out_ref,
-                buf, sem, *, tiles_x):
+def _lane():
+    return jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+
+
+def _fwd_kernel(starts_ref, lens_ref, pairs_ref, out_ref, buf, sem, *, tiles_x):
     PX = TILE * TILE
     t = pl.program_id(0)
-    c0 = first_chunk_ref[t]
-    nck = nchunks_ref[t]
+    s0 = starts_ref[t]
+    ln = lens_ref[t]
+    # Mosaic requires minor-dim DMA offsets provably divisible by the lane
+    # tiling (128): slice at the aligned-down chunk base and mask the
+    # out-of-segment columns on both ends instead
+    c0 = s0 // CHUNK
+    off0 = s0 - c0 * CHUNK
+    nck = jnp.where(ln > 0, (off0 + ln + CHUNK - 1) // CHUNK, 0)
     px, py = _pixel_coords(t, tiles_x)
     u_excl = _tri(CHUNK, inclusive=False)
+    lane = _lane()
 
     def dma(slot, j):
-        return pltpu.make_async_copy(pairs_ref.at[c0 + j], buf.at[slot], sem.at[slot])
+        return pltpu.make_async_copy(
+            pairs_ref.at[:, pl.ds((c0 + j) * CHUNK, CHUNK)],
+            buf.at[slot], sem.at[slot])
 
     @pl.when(nck > 0)
     def _():
@@ -118,7 +140,9 @@ def _fwd_kernel(first_chunk_ref, nchunks_ref, pairs_ref, out_ref,
 
         dma(j % 2, j).wait()
         d = buf[j % 2]
-        alpha, l, _, _, _, _, _, colors, depth = _alpha_terms(d, px, py)
+        g_pos = j * CHUNK + lane - off0          # position within the segment
+        colmask = (g_pos >= 0) & (g_pos < ln)
+        alpha, l, _, _, _, _, _, colors, depth = _alpha_terms(d, px, py, colmask)
         excl = jax.lax.dot_general(
             l, u_excl, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -147,21 +171,28 @@ def _fwd_kernel(first_chunk_ref, nchunks_ref, pairs_ref, out_ref,
         [rgb, wsum, dsum, logT, jnp.zeros((PX, 2), jnp.float32)], axis=1)
 
 
-def _bwd_kernel(first_chunk_ref, nchunks_ref, pairs_ref, fwd_out_ref, g_ref,
-                dzero_ref, dpairs_ref, buf, gbuf, sem, osem, *, tiles_x):
-    """Replays the forward front-to-back, emitting per-pair gradient rows.
+def _bwd_kernel(starts_ref, lens_ref, pairs_ref, fwd_out_ref, g_ref,
+                dzero_ref, dpairs_ref, buf, gbuf, rbuf, sem, osem, rsem,
+                *, tiles_x):
+    """Replays the forward front-to-back, emitting per-pair gradient columns.
 
-    dpairs is input/output-aliased with a zero array (dzero_ref) so chunks
-    never visited (early-terminated or out of segment) keep zero gradients.
+    dpairs is input/output-aliased with a zero array (dzero_ref) so segments
+    never visited (early-terminated) keep zero gradients. Masked tail
+    columns emit zero gradient rows; their DMA overlaps the next tile's
+    segment but is overwritten by that tile's own (later, ordered) writes.
     """
     del dzero_ref
     PX = TILE * TILE
     t = pl.program_id(0)
-    c0 = first_chunk_ref[t]
-    nck = nchunks_ref[t]
+    s0 = starts_ref[t]
+    ln = lens_ref[t]
+    c0 = s0 // CHUNK
+    off0 = s0 - c0 * CHUNK
+    nck = jnp.where(ln > 0, (off0 + ln + CHUNK - 1) // CHUNK, 0)
     px, py = _pixel_coords(t, tiles_x)
     u_incl = _tri(CHUNK, inclusive=True)
     u_excl = _tri(CHUNK, inclusive=False)
+    lane = _lane()
 
     g_rgb = g_ref[0, :, 0:3]                            # (PX, 3)
     g_wsum = g_ref[0, :, 3:4]
@@ -173,14 +204,28 @@ def _bwd_kernel(first_chunk_ref, nchunks_ref, pairs_ref, fwd_out_ref, g_ref,
                + fwd_out_ref[0, :, 4:5] * g_dsum)
 
     def dma_in(slot, j):
-        return pltpu.make_async_copy(pairs_ref.at[c0 + j], buf.at[slot], sem.at[slot])
+        return pltpu.make_async_copy(
+            pairs_ref.at[:, pl.ds((c0 + j) * CHUNK, CHUNK)],
+            buf.at[slot], sem.at[slot])
+
+    def dma_rd(slot, j):
+        # read-modify-write: the aligned chunk can overlap the PREVIOUS
+        # tile's segment tail, whose gradients were already written (grid
+        # steps drain their DMAs before finishing, so the read sees them) —
+        # accumulate instead of overwriting
+        return pltpu.make_async_copy(
+            dpairs_ref.at[:, pl.ds((c0 + j) * CHUNK, CHUNK)],
+            rbuf.at[slot], rsem.at[slot])
 
     def dma_out(slot, j):
-        return pltpu.make_async_copy(gbuf.at[slot], dpairs_ref.at[c0 + j], osem.at[slot])
+        return pltpu.make_async_copy(
+            gbuf.at[slot], dpairs_ref.at[:, pl.ds((c0 + j) * CHUNK, CHUNK)],
+            osem.at[slot])
 
     @pl.when(nck > 0)
     def _():
         dma_in(0, 0).start()
+        dma_rd(0, 0).start()
 
     zero_px1 = jnp.zeros((PX, 1), jnp.float32)
     init = (0, jnp.float32(0.0), zero_px1, zero_px1)
@@ -194,8 +239,10 @@ def _bwd_kernel(first_chunk_ref, nchunks_ref, pairs_ref, fwd_out_ref, g_ref,
 
         dma_in(j % 2, j).wait()
         d = buf[j % 2]
+        g_pos = j * CHUNK + lane - off0
+        colmask = (g_pos >= 0) & (g_pos < ln)
         (alpha, l, dx, dy, sigma, alpha_raw, keep,
-         colors, depth) = _alpha_terms(d, px, py)
+         colors, depth) = _alpha_terms(d, px, py, colmask)
         ca, cb, cc = d[2:3], d[3:4], d[4:5]
 
         T = jnp.exp(jax.lax.dot_general(
@@ -236,8 +283,16 @@ def _bwd_kernel(first_chunk_ref, nchunks_ref, pairs_ref, fwd_out_ref, g_ref,
         @pl.when(j >= 2)
         def _():
             dma_out(slot, j - 2).wait()
-        gbuf[slot] = jnp.concatenate(
-            [d_mx, d_my, d_ca, d_cb, d_cc, d_opac, d_col, d_dep], axis=0)
+        dma_rd(slot, j).wait()
+        # the j+1 accumulator read must come AFTER chunk j's columns are
+        # final in HBM? No — chunks j and j+1 never overlap (disjoint
+        # 128-column windows), so prefetching the read is safe
+        @pl.when(j + 1 < nck)
+        def _():
+            dma_rd((j + 1) % 2, j + 1).start()
+        gbuf[slot] = rbuf[slot] + jnp.concatenate(
+            [d_mx, d_my, d_ca, d_cb, d_cc, d_opac, d_col, d_dep,
+             jnp.zeros((NCH - 10, CHUNK), jnp.float32)], axis=0)
         dma_out(slot, j).start()
 
         prefix = prefix + jnp.sum(wq, axis=1, keepdims=True)
@@ -247,11 +302,15 @@ def _bwd_kernel(first_chunk_ref, nchunks_ref, pairs_ref, fwd_out_ref, g_ref,
     n_done, _, _, _ = jax.lax.while_loop(
         lambda c: (c[0] < nck) & (c[1] > _LOG_TERM), body, init)
 
-    # consume the in-flight input DMA left by early termination (see fwd)
+    # consume the in-flight input + accumulator DMAs left by early
+    # termination (see fwd)
     @pl.when(n_done < nck)
     def _():
         dma_in(n_done % 2, n_done).wait()
+        dma_rd(n_done % 2, n_done).wait()
 
+    # drain output DMAs — ALSO orders this tile's tail-overlap zero writes
+    # before the next grid step's real writes to the same region
     @pl.when(n_done >= 2)
     def _():
         dma_out((n_done - 2) % 2, n_done - 2).wait()
@@ -262,8 +321,9 @@ def _bwd_kernel(first_chunk_ref, nchunks_ref, pairs_ref, fwd_out_ref, g_ref,
 
 
 @functools.lru_cache(maxsize=None)
-def _make_composite(n_tiles: int, tiles_x: int, n_chunks_total: int,
-                    interpret: bool):
+def _make_composite(n_tiles: int, tiles_x: int, m_padded: int, interpret: bool):
+    """Composite fwd/bwd over a (10, m_padded) channel-major sorted pair
+    array; per-tile segments addressed by prefetched starts/lens."""
     PX = TILE * TILE
     grid_fwd = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -272,7 +332,7 @@ def _make_composite(n_tiles: int, tiles_x: int, n_chunks_total: int,
         out_specs=pl.BlockSpec((1, PX, 8), lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, 10, CHUNK), jnp.float32),
+            pltpu.VMEM((2, NCH, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -287,17 +347,19 @@ def _make_composite(n_tiles: int, tiles_x: int, n_chunks_total: int,
         num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),       # pairs
+            pl.BlockSpec(memory_space=pl.ANY),          # pairs (10, m_padded)
             pl.BlockSpec((1, PX, 8), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),      # fwd out
             pl.BlockSpec((1, PX, 8), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),      # cotangent
-            pl.BlockSpec(memory_space=pl.ANY),       # zeros (aliased out)
+            pl.BlockSpec(memory_space=pl.ANY),          # zeros (aliased out)
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, 10, CHUNK), jnp.float32),
-            pltpu.VMEM((2, 10, CHUNK), jnp.float32),
+            pltpu.VMEM((2, NCH, CHUNK), jnp.float32),   # buf (pairs in)
+            pltpu.VMEM((2, NCH, CHUNK), jnp.float32),   # gbuf (grads out)
+            pltpu.VMEM((2, NCH, CHUNK), jnp.float32),   # rbuf (accumulator in)
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -305,23 +367,23 @@ def _make_composite(n_tiles: int, tiles_x: int, n_chunks_total: int,
     bwd_call = pl.pallas_call(
         functools.partial(_bwd_kernel, tiles_x=tiles_x),
         grid_spec=grid_bwd,
-        out_shape=jax.ShapeDtypeStruct((n_chunks_total, 10, CHUNK), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((NCH, m_padded), jnp.float32),
         input_output_aliases={5: 0},  # zeros input (after 2 prefetch args) → dpairs
         interpret=interpret,
     )
 
     @jax.custom_vjp
-    def composite(pairs3d, first_chunk, nchunks):
-        return fwd_call(first_chunk, nchunks, pairs3d)
+    def composite(pairs_t, starts, lens):
+        return fwd_call(starts, lens, pairs_t)
 
-    def composite_fwd(pairs3d, first_chunk, nchunks):
-        out = composite(pairs3d, first_chunk, nchunks)
-        return out, (pairs3d, first_chunk, nchunks, out)
+    def composite_fwd(pairs_t, starts, lens):
+        out = composite(pairs_t, starts, lens)
+        return out, (pairs_t, starts, lens, out)
 
     def composite_bwd(res, g):
-        pairs3d, first_chunk, nchunks, out = res
-        dzero = jnp.zeros_like(pairs3d)
-        dpairs = bwd_call(first_chunk, nchunks, pairs3d, out, g, dzero)
+        pairs_t, starts, lens, out = res
+        dzero = jnp.zeros_like(pairs_t)
+        dpairs = bwd_call(starts, lens, pairs_t, out, g, dzero)
         return dpairs, None, None
 
     composite.defvjp(composite_fwd, composite_bwd)
@@ -383,8 +445,6 @@ def rasterize_gaussians_pallas(
         mean_x, mean_y, ch["conic_a"], ch["conic_b"], ch["conic_c"],
         opacities, colors[0], colors[1], colors[2], depth,
     ], axis=-1)                                          # (N, 10)
-    packed = jnp.concatenate(
-        [packed, jnp.zeros((1, 10), packed.dtype)], axis=0)  # dummy row N
 
     # ---- pair expansion, (side², N) layout so N stays on lanes ----
     tiles_x = (width + TILE - 1) // TILE
@@ -416,33 +476,28 @@ def rasterize_gaussians_pallas(
     sorted_tile, _, sorted_gauss = jax.lax.sort(
         (tile_flat, depth_flat, gidx_flat), num_keys=2)
 
-    # ---- chunk-aligned segment layout ----
+    # ---- per-tile segment table + channel-major sorted pair array ----
+    # n_tiles-many searchsorted queries INTO the big array (the cheap
+    # direction); ONE row gather; ONE transpose. CHUNK extra zero columns
+    # keep the last tile's final partial-chunk DMA in bounds.
     tids = jnp.arange(n_tiles, dtype=jnp.int32)
     starts = jnp.searchsorted(sorted_tile, tids, side="left").astype(jnp.int32)
     ends = jnp.searchsorted(sorted_tile, tids, side="right").astype(jnp.int32)
     lens = ends - starts
-    nchunks = (lens + CHUNK - 1) // CHUNK
-    chunk_cum = jnp.cumsum(nchunks).astype(jnp.int32)    # inclusive
-    first_chunk = (chunk_cum - nchunks).astype(jnp.int32)
 
-    n_chunks_total = m_pairs // CHUNK + n_tiles + 1      # static bound
-    m_pad = n_chunks_total * CHUNK
-    slot = jnp.arange(m_pad, dtype=jnp.int32)
-    slot_tile = jnp.searchsorted(chunk_cum, slot // CHUNK,
-                                 side="right").astype(jnp.int32)
-    st_c = jnp.clip(slot_tile, 0, n_tiles - 1)
-    off = slot - first_chunk[st_c] * CHUNK
-    src = starts[st_c] + off
-    valid_slot = (slot_tile < n_tiles) & (off < lens[st_c])
-    idx = jnp.where(valid_slot,
-                    sorted_gauss[jnp.clip(src, 0, m_pairs - 1)], n)
+    # NCH=16 channel rows: dynamic-offset DMA slices must cover a
+    # sublane-aligned row count (Mosaic: "slice shape along dimension 0 must
+    # be aligned to tiling (8)"), so the 10 used channels are padded to 16
+    packed16 = jnp.concatenate(
+        [packed, jnp.zeros((n, NCH - 10), packed.dtype)], axis=1)
+    packed_sorted = packed16[sorted_gauss]                # (m_pairs, 16)
+    pairs_t = jnp.concatenate([
+        jnp.transpose(packed_sorted),                     # (16, m_pairs)
+        jnp.zeros((NCH, CHUNK), packed_sorted.dtype),
+    ], axis=1)
 
-    pairs = packed[idx]                                   # (m_pad, 10) — diff gather
-    pairs3d = jnp.transpose(
-        pairs.reshape(n_chunks_total, CHUNK, 10), (0, 2, 1))  # (NC, 10, CH)
-
-    composite = _make_composite(n_tiles, tiles_x, n_chunks_total, interpret)
-    out = composite(pairs3d, first_chunk, nchunks)        # (n_tiles, PX, 8)
+    composite = _make_composite(n_tiles, tiles_x, m_pairs + CHUNK, interpret)
+    out = composite(pairs_t, starts, lens)                # (n_tiles, PX, 8)
 
     T = jnp.exp(out[..., 5])                              # (n_tiles, PX)
     rgb_tiles = out[..., 0:3] + T[..., None] * background[None, None]
