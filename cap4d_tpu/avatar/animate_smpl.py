@@ -45,9 +45,19 @@ def render_sequence_smpl(
     it, ckpt_path = search_max_iteration(model_path)
     assert ckpt_path is not None, f"no chkpnt*.pth under {model_path}"
     print(f"Loading checkpoint at iteration {it}")
-    with open(ckpt_path, "rb") as fh:
-        chkpt, _ = pickle.load(fh)
-    trainer.restore(chkpt)
+    from cap4d_tpu.avatar.convert_ref import (
+        is_torch_checkpoint,
+        load_reference_avatar_checkpoint,
+        restore_reference_checkpoint,
+    )
+
+    if is_torch_checkpoint(ckpt_path):  # reference layout (the default write)
+        chkpt, _ = load_reference_avatar_checkpoint(ckpt_path)
+        restore_reference_checkpoint(trainer, chkpt)
+    else:
+        with open(ckpt_path, "rb") as fh:
+            chkpt, _ = pickle.load(fh)
+        trainer.restore(chkpt)
 
     writer = PlyWriter(compress=compress_ply) if export_animation else None
     cams = scene.tgt_cameras

@@ -83,15 +83,36 @@ def make_synthetic_flame(
     n_shape: int = FLAME_N_SHAPE,
     n_expr: int = FLAME_N_EXPR,
     seed: int = 0,
+    sphere_radius: float = 0.0,
 ) -> Dict[str, np.ndarray]:
     """Build a random FLAME-shaped asset dict for tests (no real pkl needed).
 
     Shapes mirror the real FLAME 2023 asset so the same code paths exercise.
+    With ``sphere_radius`` > 0 the template is a fibonacci sphere of that
+    radius instead of a gaussian blob — projected through a real tracked
+    fit.npz it lands head-sized in the frame, which makes crop boxes (and
+    real-photo avatar fits) sane without the real FLAME pkl.
     """
     rng = np.random.default_rng(seed)
-    v_template = rng.normal(scale=0.1, size=(n_verts, 3)).astype(np.float32)
-    shapedirs = rng.normal(scale=0.01, size=(n_verts, 3, n_shape + n_expr)).astype(np.float32)
-    posedirs = rng.normal(scale=0.01, size=(n_verts, 3, (n_joints - 1) * 9)).astype(np.float32)
+    if sphere_radius > 0:
+        i = np.arange(n_verts, dtype=np.float64)
+        phi = np.pi * (3.0 - np.sqrt(5.0)) * i
+        z = 1.0 - 2.0 * (i + 0.5) / n_verts
+        r_xy = np.sqrt(np.clip(1.0 - z * z, 0, None))
+        v_template = (sphere_radius * np.stack(
+            [r_xy * np.cos(phi), r_xy * np.sin(phi), z], axis=-1)
+        ).astype(np.float32)
+        v_template += rng.normal(
+            scale=0.02 * sphere_radius, size=v_template.shape
+        ).astype(np.float32)
+    else:
+        v_template = rng.normal(scale=0.1, size=(n_verts, 3)).astype(np.float32)
+    # in sphere mode keep blendshape displacements small relative to the
+    # head: real fits carry O(1) coefficients over ~150 components, which at
+    # scale 0.01 would swamp a 9 cm template
+    bs_scale = 0.0005 if sphere_radius > 0 else 0.01
+    shapedirs = rng.normal(scale=bs_scale, size=(n_verts, 3, n_shape + n_expr)).astype(np.float32)
+    posedirs = rng.normal(scale=bs_scale, size=(n_verts, 3, (n_joints - 1) * 9)).astype(np.float32)
     j_regressor = rng.uniform(size=(n_joints, n_verts)).astype(np.float32)
     j_regressor /= j_regressor.sum(axis=1, keepdims=True)
     weights = rng.uniform(size=(n_verts, n_joints)).astype(np.float32)

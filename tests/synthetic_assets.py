@@ -33,13 +33,17 @@ def write_obj(path, verts, faces, with_uvs=True):
                 fh.write(f"f {f[0]+1} {f[1]+1} {f[2]+1}\n")
 
 
-def make_asset_dir(root: Path, seed=0) -> Path:
-    """data/assets/flame layout with synthetic weights + template."""
+def make_asset_dir(root: Path, seed=0, sphere_radius=0.0) -> Path:
+    """data/assets/flame layout with synthetic weights + template.
+
+    sphere_radius > 0 → head-sized sphere template (see make_synthetic_flame);
+    used by the real-photo quality fit where crop boxes must be face-sized."""
     flame_dir = root / "assets" / "flame"
     flame_dir.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(seed)
 
-    fd = make_synthetic_flame(n_verts=N_FLAME_VERTS, seed=seed)
+    fd = make_synthetic_flame(n_verts=N_FLAME_VERTS, seed=seed,
+                              sphere_radius=sphere_radius)
     save_flame_pkl(fd, flame_dir / "flame2023_no_jaw.pkl")
     np.save(flame_dir / "blink_blendshape.npy",
             rng.normal(scale=0.01, size=(N_FLAME_VERTS, 3)).astype(np.float32))

@@ -74,3 +74,39 @@ def test_latents_finite(pipeline_out):
     _, result = pipeline_out
     assert np.isfinite(result["z_gen"]).all()
     assert result["images"].shape == (7, 64, 64, 3)
+
+
+def test_dp_sharded_cli_matches_single_device(pipeline_out, tmp_path_factory):
+    """The full generate_images CLI on the 8-device CPU mesh produces the
+    SAME latents as a 1-device run — proves the CLI wiring, the n_par
+    round-robin fallback, and the dp bank sharding end-to-end (the sampler
+    unit test already pins the inner step; reference semantics:
+    cap4d/inference/generate_images.py:62-76 + mmdm/sampler.py:150-231)."""
+    import jax
+
+    from cap4d_tpu.parallel import dp_mesh
+
+    assert jax.device_count() >= 8, "conftest forces 8 CPU devices"
+    out8, result8 = pipeline_out  # module fixture ran on the full dp mesh
+
+    root = tmp_path_factory.mktemp("e2e_1dev")
+    flame_dir = make_asset_dir(root)
+    ref_dir = make_reference_dir(root, resolution=256)
+    gen_bank = make_gen_bank(root, n=16)
+    ckpt_dir = make_model_config(root, image_size=8, model_channels=32,
+                                 resolution=64)
+    gen_config = make_gen_config(root, ckpt_dir, gen_bank, n_samples=7,
+                                 n_ddim_steps=2, resolution=64)
+
+    from cap4d_tpu.inference.generate_images import run_generation
+
+    result1 = run_generation(
+        gen_config, ref_dir, root / "output",
+        visualize_conditioning=False,
+        allow_random_weights=True,
+        flame_asset_dir=flame_dir,
+        dtype=np.float32,
+        mesh=dp_mesh(devices=jax.devices()[:1]),
+    )
+    np.testing.assert_allclose(result1["z_gen"], result8["z_gen"],
+                               atol=2e-5, rtol=1e-5)
