@@ -185,6 +185,8 @@ def load_cap4d_dataset(
 
     n_frames = len(cams)
     n_val = max(1, min(n_max_val_images, int(n_frames * val_ratio))) if n_frames else 0
+    # never leave the train split empty (single-photo fits)
+    n_val = min(n_val, n_frames - 1) if n_frames else 0
 
     tgt_cams: List[AvatarCamera] = []
     tgt_meshes: List[Dict] = []

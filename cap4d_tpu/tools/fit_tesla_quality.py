@@ -53,7 +53,7 @@ def main():
     model_path = root / "avatar"
     t0 = time.perf_counter()
     trainer = training(
-        source_paths=[str(root / "stage1")],
+        source_paths=[str(root / "stage1" / "reference_images")],
         model_path=model_path,
         model_params=dict(cfg["model_params"], use_lower_jaw=False),
         opt_params=opt,
@@ -63,7 +63,7 @@ def main():
     )
     fit_s = time.perf_counter() - t0
 
-    scene = load_cap4d_dataset([str(root / "stage1")])
+    scene = load_cap4d_dataset([str(root / "stage1" / "reference_images")])
     cams = scene.train_cameras + scene.val_cameras + scene.test_cameras
     stats = {"psnr": [], "ssim": [], "l1": []}
     for cam in cams:

@@ -68,6 +68,30 @@ def test_sh_roundtrip():
     np.testing.assert_allclose(np.asarray(sh2rgb(rgb2sh(rgb))), rgb, atol=1e-6)
 
 
+def test_eval_sh_degree4_paths_agree():
+    """deg-0..4 (reference sh_utils.py:44-111 supports deg 4): the row-wise
+    and channelwise SH evaluators must agree, and each degree must add
+    signal."""
+    from cap4d_tpu.ops.gsplat import eval_sh_ch
+
+    rng = np.random.default_rng(5)
+    n = 64
+    sh = jnp.asarray(rng.normal(scale=0.3, size=(n, 25, 3)).astype(np.float32))
+    dirs = rng.normal(size=(n, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    dirs = jnp.asarray(dirs)
+
+    prev = None
+    for deg in range(5):
+        row = np.asarray(eval_sh(sh, dirs, deg))
+        chw = np.asarray(eval_sh_ch(sh, dirs[:, 0], dirs[:, 1], dirs[:, 2],
+                                    deg)).T
+        np.testing.assert_allclose(row, chw, atol=1e-5)
+        if prev is not None:
+            assert np.abs(row - prev).max() > 1e-3, f"degree {deg} inert"
+        prev = row
+
+
 def test_quat_rotmat():
     # 90° about z: q = (cos45, 0, 0, sin45)
     q = np.array([[np.cos(np.pi / 4), 0, 0, np.sin(np.pi / 4)]], np.float32)
