@@ -13,9 +13,10 @@ N_FLAME_VERTS = 5023
 N_MOUTH = 200
 
 
-def write_obj(path, verts, faces, with_uvs=True):
-    """OBJ writer; uvs lay the vertices out on a regular grid so the UV-layout
-    rasterization used by the avatar stage has a sane chart."""
+def write_obj(path, verts, faces, with_uvs=True, uvs=None):
+    """OBJ writer; default uvs lay the vertices out on a regular grid so the
+    UV-layout rasterization used by the avatar stage has a sane chart; pass
+    explicit per-vertex `uvs` (N, 2) to override."""
     n = len(verts)
     side = int(np.ceil(np.sqrt(n)))
     with open(path, "w") as fh:
@@ -23,8 +24,11 @@ def write_obj(path, verts, faces, with_uvs=True):
             fh.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
         if with_uvs:
             for i in range(n):
-                u = 0.04 + 0.92 * (i % side) / side
-                w = 0.04 + 0.92 * (i // side) / side
+                if uvs is not None:
+                    u, w = float(uvs[i][0]), float(uvs[i][1])
+                else:
+                    u = 0.04 + 0.92 * (i % side) / side
+                    w = 0.04 + 0.92 * (i // side) / side
                 fh.write(f"vt {u:.6f} {w:.6f}\n")
             for f in faces:
                 fh.write(f"f {f[0]+1}/{f[0]+1} {f[1]+1}/{f[1]+1} {f[2]+1}/{f[2]+1}\n")
@@ -55,21 +59,38 @@ def make_asset_dir(root: Path, seed=0, sphere_radius=0.0) -> Path:
     verts = np.concatenate([fd["v_template"], mouth_v * 0.02], axis=0)
     faces = np.concatenate([fd["f"], mouth_f + N_FLAME_VERTS], axis=0)
     write_obj(flame_dir / "cap4d_flame_template.obj", verts, faces)
-    # avatar template: grid connectivity matching the uv grid layout so the
-    # UV-layout rasterization yields a dense chart for remeshing
-    n = len(verts)
-    side = int(np.ceil(np.sqrt(n)))
-    r, c = np.mgrid[0 : side - 1, 0 : side - 1]
-    p00 = r * side + c
-    p01 = p00 + side
-    p10 = p00 + 1
-    p11 = p01 + 1
-    grid_faces = np.concatenate([
-        np.stack([p00, p01, p11], -1).reshape(-1, 3),
-        np.stack([p00, p11, p10], -1).reshape(-1, 3),
-    ])
-    grid_faces = grid_faces[(grid_faces < n).all(axis=1)].astype(np.int32)
-    write_obj(flame_dir / "cap4d_avatar_template.obj", verts, grid_faces)
+    if sphere_radius > 0:
+        # spatially-local triangulation + lat-long UV chart: index-grid
+        # connectivity over a fibonacci sphere makes giant faces (i ↔ i+side
+        # spans the sphere) whose bound gaussians blow past any tile
+        # footprint cap; the hull faces are all local
+        from scipy.spatial import ConvexHull
+
+        hull_faces = ConvexHull(fd["v_template"]).simplices.astype(np.int32)
+        norm = np.maximum(np.linalg.norm(verts, axis=1), 1e-9)
+        u = np.arctan2(verts[:, 1], verts[:, 0]) / (2 * np.pi) + 0.5
+        w = np.clip(verts[:, 2] / norm * 0.5 + 0.5, 0.0, 1.0)
+        uvs = np.stack([0.04 + 0.92 * u, 0.04 + 0.92 * w], axis=-1)
+        du = uvs[hull_faces][:, :, 0]
+        seam_ok = (du.max(1) - du.min(1)) < 0.5   # drop u-wrap faces
+        write_obj(flame_dir / "cap4d_avatar_template.obj", verts,
+                  hull_faces[seam_ok], uvs=uvs)
+    else:
+        # avatar template: grid connectivity matching the uv grid layout so
+        # the UV-layout rasterization yields a dense chart for remeshing
+        n = len(verts)
+        side = int(np.ceil(np.sqrt(n)))
+        r, c = np.mgrid[0 : side - 1, 0 : side - 1]
+        p00 = r * side + c
+        p01 = p00 + side
+        p10 = p00 + 1
+        p11 = p01 + 1
+        grid_faces = np.concatenate([
+            np.stack([p00, p01, p11], -1).reshape(-1, 3),
+            np.stack([p00, p11, p10], -1).reshape(-1, 3),
+        ])
+        grid_faces = grid_faces[(grid_faces < n).all(axis=1)].astype(np.int32)
+        write_obj(flame_dir / "cap4d_avatar_template.obj", verts, grid_faces)
 
     head_ids = np.arange(0, N_FLAME_VERTS, 2)
     np.savetxt(flame_dir / "head_vertices.txt", head_ids, fmt="%d")
