@@ -210,11 +210,19 @@ def training(
             ema_loss = 0.4 * total + 0.6 * ema_loss
             # splats dropped by a rasterizer cap bias the render and the
             # densification gradients invisibly — raise the cap and recompile,
-            # exactly like n_dropped → grow_capacity above
+            # exactly like n_dropped → grow_capacity above. Footprint
+            # truncation only CLIPS a splat's outer tiles (the 3σ bbox past
+            # the side×side window), so a handful of outliers doesn't justify
+            # a recompile + quadratically larger pair buffer: raise only past
+            # a 0.1% tolerance (the count still lands in metrics.jsonl), and
+            # stop at side 7 (49 tiles ≈ a 112-px-radius splat at 16px tiles).
+            n_act = int(trainer.gauss_aux.n_active)
             tr_foot = int(losses["n_truncated"])
             tr_depth = int(losses["n_truncated_depth"])
-            if tr_foot or tr_depth:
-                trainer.grow_raster_caps(footprint=tr_foot > 0,
+            grow_foot = (tr_foot > max(64, n_act // 1000)
+                         and trainer.max_tiles_per_gaussian < 49)
+            if grow_foot or tr_depth:
+                trainer.grow_raster_caps(footprint=grow_foot,
                                          depth=tr_depth > 0)
                 step_fns.clear()
                 print(f"[ITER {iteration}] raster caps raised "
