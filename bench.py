@@ -132,7 +132,9 @@ def bench_render(n=216_000, s=512, iters=20):
     }
 
 
-def bench_fit(iters=20):
+def build_fit_step(res=512):
+    """(step_fn, fixed_args, state, n_active): the full avatar train
+    iteration at bench scale — shared by bench_fit and trace tooling."""
     import tempfile
     from pathlib import Path
 
@@ -144,8 +146,6 @@ def bench_fit(iters=20):
 
     from cap4d_tpu.avatar.scene import load_cap4d_dataset
     from cap4d_tpu.avatar.trainer import AvatarTrainer
-
-    res = 512
     root = Path(tempfile.mkdtemp(prefix="bench_fit"))
     flame_dir = make_asset_dir(root)
     # stage-1-format source dir at bench scale (4 frames, 512px)
@@ -195,22 +195,31 @@ def bench_fit(iters=20):
 
     state = (trainer.gauss_params, trainer.deform_params, trainer.neck_weight,
              trainer.gauss_aux, trainer.moments)
+    fixed = (trainer.flame_bank, cam_in, gt, mask,
+             jnp.asarray(cam.timestep), lrs)
+    n_active = int(trainer.gauss_aux.n_active)  # before the step donates it
+    return step_fn, fixed, state, n_active
 
-    def run(state, n):
+
+def bench_fit(iters=20):
+    import jax.numpy as jnp
+
+    step_fn, fixed, state, n_active = build_fit_step()
+    bank, cam_in, gt, mask, t, lrs = fixed
+
+    def run(state, n, k0):
         t0 = time.perf_counter()
         for k in range(n):
             gp, dp, neck, aux, moments = state
             gp, dp, neck, aux, moments, losses, _ = step_fn(
-                gp, dp, neck, aux, moments, trainer.flame_bank, cam_in, gt,
-                mask, jnp.asarray(cam.timestep), lrs, jnp.float32(0.0),
-                jnp.float32(k + 1))
+                gp, dp, neck, aux, moments, bank, cam_in, gt, mask, t, lrs,
+                jnp.float32(0.0), jnp.float32(k0 + k + 1))
             state = (gp, dp, neck, aux, moments)
         _sync(losses["total"])
         return state, time.perf_counter() - t0
 
-    n_active = int(trainer.gauss_aux.n_active)  # before the step donates it
-    state, _ = run(state, 2)  # compile + warmup
-    state, elapsed = run(state, iters)
+    state, _ = run(state, 2, 0)  # compile + warmup
+    state, elapsed = run(state, iters, 2)
     it_s = iters / elapsed
     return {
         "metric": "gs_fit_iters_per_sec",

@@ -374,8 +374,13 @@ class AvatarTrainer:
             losses = {}
             ssim_v = ssim(image, gt)
             lam_ds = opt["lambda_dssim"]
-            losses["l1"] = l1_loss(image, gt) * (1 - lam_ds) * (1 - lambda_lpips)
-            losses["ssim"] = (1 - ssim_v) * lam_ds * (1 - lambda_lpips)
+            # the reference hands the photometric objective over to LPIPS as
+            # λ_lpips ramps to 1 (train.py:152-165); without LPIPS weights
+            # the (1-λ) down-weighting would drive the photometric loss to
+            # ZERO — keep l1/SSIM at full weight instead
+            photo_w = (1 - lambda_lpips) if lpips.available else 1.0
+            losses["l1"] = l1_loss(image, gt) * (1 - lam_ds) * photo_w
+            losses["ssim"] = (1 - ssim_v) * lam_ds * photo_w
             if lpips.available:
                 losses["lpips"] = opt["w_lpips"] * lambda_lpips * lpips(image, gt)
 

@@ -392,7 +392,7 @@ def _make_composite(n_tiles: int, tiles_x: int, m_padded: int, interpret: bool):
 
 @functools.partial(jax.jit, static_argnames=(
     "width", "height", "sh_degree", "max_tiles_per_gaussian", "render_depth",
-    "interpret"))
+    "big_tiles_per_gaussian", "big_budget", "interpret"))
 def rasterize_gaussians_pallas(
     means3d: jnp.ndarray,     # (N, 3) world
     quats: jnp.ndarray,       # (N, 4) wxyz
@@ -411,12 +411,21 @@ def rasterize_gaussians_pallas(
     render_depth: bool = False,
     means2d_offset: Optional[jnp.ndarray] = None,
     mask: Optional[jnp.ndarray] = None,
+    big_tiles_per_gaussian: int = 49,
+    big_budget: int = 8192,
     interpret: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Pallas-path rasterizer; same contract as gsplat.rasterize_gaussians
     minus the per-tile cap (`max_per_tile` does not exist here: compositing
-    is exact for any overlap depth; only `max_tiles_per_gaussian` — the
-    side² tile-footprint cap — can truncate, reported via n_truncated)."""
+    is exact for any overlap depth).
+
+    Footprint handling is two-level: every gaussian gets a side×side
+    (max_tiles_per_gaussian) candidate window, and up to `big_budget` of the
+    largest-radius gaussians that exceed it get a big_side×big_side window
+    instead (a fixed-cost second expansion over a top-k subset — a handful
+    of large background splats would otherwise force the quadratically
+    bigger window, and a recompile, onto all N). Only splats beyond the big
+    window or past the budget are clipped, reported via n_truncated."""
     n = means3d.shape[0]
     if background is None:
         background = jnp.ones(3, jnp.float32)
@@ -454,25 +463,53 @@ def rasterize_gaussians_pallas(
     ty0 = jnp.floor((mean_y - radius) / TILE).astype(jnp.int32)
     tx1 = jnp.floor((mean_x + radius) / TILE).astype(jnp.int32)
     ty1 = jnp.floor((mean_y + radius) / TILE).astype(jnp.int32)
-    n_truncated = jnp.sum(
-        ((tx1 - tx0 + 1 > side) | (ty1 - ty0 + 1 > side)) & valid)
+    span = jnp.maximum(tx1 - tx0, ty1 - ty0) + 1
 
+    big_side = int(big_tiles_per_gaussian ** 0.5)
+    big_budget = min(big_budget, n)
+    use_big = big_budget > 0 and big_side > side
+    is_big = valid & (span > side) if use_big else jnp.zeros_like(valid)
+
+    def window(sd, x0, y0, x1, y1, vld, nn):
+        s2_ = sd * sd
+        di = jax.lax.broadcasted_iota(jnp.int32, (s2_, 1), 0) // sd
+        dj = jax.lax.broadcasted_iota(jnp.int32, (s2_, 1), 0) % sd
+        cy = y0[None, :] + di
+        cx = x0[None, :] + dj
+        ok = (vld[None, :]
+              & (cx >= 0) & (cx < tiles_x) & (cy >= 0) & (cy < tiles_y)
+              & (cx <= x1[None, :]) & (cy <= y1[None, :]))
+        return jnp.where(ok, cy * tiles_x + cx, n_tiles)
+
+    pair_tile = window(side, tx0, ty0, tx1, ty1, valid & ~is_big, n)
     s2 = side * side
-    di = jax.lax.broadcasted_iota(jnp.int32, (s2, 1), 0) // side
-    dj = jax.lax.broadcasted_iota(jnp.int32, (s2, 1), 0) % side
-    cand_y = ty0[None, :] + di
-    cand_x = tx0[None, :] + dj
-    pair_ok = (valid[None, :]
-               & (cand_x >= 0) & (cand_x < tiles_x)
-               & (cand_y >= 0) & (cand_y < tiles_y)
-               & (cand_x <= tx1[None, :]) & (cand_y <= ty1[None, :]))
-    pair_tile = jnp.where(pair_ok, cand_y * tiles_x + cand_x, n_tiles)
+    tile_parts = [pair_tile.reshape(-1)]
+    depth_parts = [jnp.broadcast_to(depth[None, :], (s2, n)).reshape(-1)]
+    gidx_parts = [jnp.broadcast_to(
+        jax.lax.broadcasted_iota(jnp.int32, (1, n), 1), (s2, n)).reshape(-1)]
 
-    m_pairs = s2 * n
-    tile_flat = pair_tile.reshape(-1)
-    depth_flat = jnp.broadcast_to(depth[None, :], (s2, n)).reshape(-1)
-    gidx_flat = jnp.broadcast_to(
-        jax.lax.broadcasted_iota(jnp.int32, (1, n), 1), (s2, n)).reshape(-1)
+    if use_big:
+        # fixed-budget second expansion for the largest-footprint splats
+        big_r = jnp.where(is_big, radius, -1.0)
+        _, big_idx = jax.lax.top_k(big_r, big_budget)
+        big_ok = big_r[big_idx] > 0
+        bs2 = big_side * big_side
+        big_tile = window(big_side, tx0[big_idx], ty0[big_idx],
+                          tx1[big_idx], ty1[big_idx], big_ok, big_budget)
+        tile_parts.append(big_tile.reshape(-1))
+        depth_parts.append(jnp.broadcast_to(
+            depth[big_idx][None, :], (bs2, big_budget)).reshape(-1))
+        gidx_parts.append(jnp.broadcast_to(
+            big_idx[None, :], (bs2, big_budget)).reshape(-1))
+        n_truncated = (jnp.sum((span > big_side) & valid)
+                       + jnp.maximum(jnp.sum(is_big) - big_budget, 0))
+    else:
+        n_truncated = jnp.sum((span > side) & valid)
+
+    tile_flat = jnp.concatenate(tile_parts)
+    depth_flat = jnp.concatenate(depth_parts)
+    gidx_flat = jnp.concatenate(gidx_parts)
+    m_pairs = tile_flat.shape[0]
     sorted_tile, _, sorted_gauss = jax.lax.sort(
         (tile_flat, depth_flat, gidx_flat), num_keys=2)
 

@@ -97,6 +97,46 @@ def test_pallas_deep_stack_no_truncation():
     np.testing.assert_allclose(np.asarray(out["alpha"]), ref_alpha, atol=2e-3)
 
 
+def test_pallas_two_level_footprint_expansion():
+    """A giant splat spanning ~6 tiles at base side 3 must be routed through
+    the fixed-budget big window and composite EXACTLY (n_truncated == 0, no
+    cap growth / recompile needed)."""
+    n = 40
+    rng = np.random.default_rng(9)
+    means = rng.uniform(-0.2, 0.2, size=(n, 3)).astype(np.float32)
+    means[:, 2] += 3.0
+    quats = np.tile(np.array([1.0, 0, 0, 0], np.float32), (n, 1))
+    scales = np.full((n, 3), 0.03, np.float32)
+    scales[0] = 0.55           # giant background splat (~7-tile span)
+    means[0] = [0, 0, 4.0]
+    opac = rng.uniform(0.3, 0.9, size=(n,)).astype(np.float32)
+    sh = np.zeros((n, 1, 3), np.float32)
+    sh[:, 0] = rng.uniform(-0.5, 0.5, size=(n, 3))
+    viewmat = np.eye(4, dtype=np.float32)
+    K = np.array([[100.0, 0, 32], [0, 100.0, 32], [0, 0, 1]], np.float32)
+
+    out = rasterize_gaussians_pallas(
+        jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+        jnp.asarray(opac), jnp.asarray(sh), jnp.asarray(viewmat),
+        jnp.asarray(K), 64, 64, sh_degree=0, max_tiles_per_gaussian=9,
+        big_tiles_per_gaussian=81, big_budget=16, interpret=True)
+    assert int(out["n_truncated"]) == 0
+    bg = np.ones(3, np.float32)
+    ref_img, ref_alpha = numpy_render(
+        means, quats, scales, opac, sh, viewmat, K, 64, 64, 0, bg)
+    np.testing.assert_allclose(np.asarray(out["render"]), ref_img, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out["alpha"]), ref_alpha, atol=2e-3)
+
+    # overflowing the budget is COUNTED, not silent
+    out2 = rasterize_gaussians_pallas(
+        jnp.asarray(means), jnp.asarray(quats),
+        jnp.asarray(np.full((n, 3), 0.9, np.float32)),  # all giant
+        jnp.asarray(opac), jnp.asarray(sh), jnp.asarray(viewmat),
+        jnp.asarray(K), 64, 64, sh_degree=0, max_tiles_per_gaussian=9,
+        big_tiles_per_gaussian=81, big_budget=16, interpret=True)
+    assert int(out2["n_truncated"]) > 0
+
+
 def test_pallas_depth_far_clip_and_mask():
     means, quats, scales, opac, sh, viewmat, K = _scene(n=20, seed=4)
     out = rasterize_gaussians_pallas(
