@@ -38,9 +38,13 @@ def _depthwise_blur(x: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
     C = x.shape[-1]
     k = jnp.asarray(window)[:, :, None, None]
     k = jnp.tile(k, (1, 1, 1, C))  # (kh, kw, 1, C) feature-group kernel
+    # HIGHEST precision: at the TPU default (one bf16 MXU pass) the variance
+    # estimate blur(x²) − μ² goes negative on low-variance regions and the
+    # SSIM map's denominator flips sign (measured SSIM "3.17" on a real fit)
     return jax.lax.conv_general_dilated(
         x[None], k, window_strides=(1, 1), padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C,
+        precision=jax.lax.Precision.HIGHEST,
     )[0]
 
 
