@@ -108,3 +108,143 @@ def quat_to_rotvec(q: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
 
 def rotmat_to_rotvec(R: jnp.ndarray) -> jnp.ndarray:
     return quat_to_rotvec(rotmat_to_quat(R))
+
+
+# ---------------- channelwise face frames (structure-of-arrays) -------------
+#
+# The dense formulations above keep tiny minor dims ((F,3), (F,3,3)) that TPU
+# tiles onto 128 lanes at 40x memory waste; XLA then slices/relayouts them op
+# by op (a full train step spent ~150 ms in this class). The *_ch/_pack
+# functions below keep F on the lane axis throughout: every intermediate is a
+# (F,) vector and the only 2-D ops are one stack and one transpose of the
+# final 16-row pack.
+#
+# pack row layout (16 columns):
+#   0:3 center, 3 scale, 4:8 quat (wxyz), 8:11 orient col a0, 11:14 col a1,
+#   14:16 zero padding. a2 = -normalize(a1 x a0) is recomputed from a0/a1
+#   where needed (cheaper than storing 3 more columns past the 16 boundary).
+
+
+def _norm3_ch(x, y, z, eps=1e-20):
+    n = jnp.sqrt(jnp.clip(x * x + y * y + z * z, eps))
+    return x / n, y / n, z / n, n
+
+
+def _cross_ch(ax, ay, az, bx, by, bz):
+    return ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx
+
+
+def _a2_ch(a0, a1):
+    """Third orient column from the first two: -normalize(a1 × a0)."""
+    cx, cy, cz = _cross_ch(*a1, *a0)
+    x, y, z, _ = _norm3_ch(cx, cy, cz)
+    return -x, -y, -z
+
+
+def rotmat_to_quat_ch(m):
+    """m[i][j] channels of row-i col-j rotation entries → 4 quat channels.
+
+    Same branch-free 4-candidate construction as rotmat_to_quat."""
+    tr_w = 1.0 + m[0][0] + m[1][1] + m[2][2]
+    tr_x = 1.0 + m[0][0] - m[1][1] - m[2][2]
+    tr_y = 1.0 - m[0][0] + m[1][1] - m[2][2]
+    tr_z = 1.0 - m[0][0] - m[1][1] + m[2][2]
+    qw = jnp.sqrt(jnp.clip(tr_w, 1e-10)) / 2.0
+    qx = jnp.sqrt(jnp.clip(tr_x, 1e-10)) / 2.0
+    qy = jnp.sqrt(jnp.clip(tr_y, 1e-10)) / 2.0
+    qz = jnp.sqrt(jnp.clip(tr_z, 1e-10)) / 2.0
+
+    def safe(d):
+        return 4 * jnp.where(d < 1e-8, 1, d)
+
+    cands = [
+        (qw, (m[2][1] - m[1][2]) / safe(qw), (m[0][2] - m[2][0]) / safe(qw),
+         (m[1][0] - m[0][1]) / safe(qw)),
+        ((m[2][1] - m[1][2]) / safe(qx), qx, (m[0][1] + m[1][0]) / safe(qx),
+         (m[0][2] + m[2][0]) / safe(qx)),
+        ((m[0][2] - m[2][0]) / safe(qy), (m[0][1] + m[1][0]) / safe(qy), qy,
+         (m[1][2] + m[2][1]) / safe(qy)),
+        ((m[1][0] - m[0][1]) / safe(qz), (m[0][2] + m[2][0]) / safe(qz),
+         (m[1][2] + m[2][1]) / safe(qz), qz),
+    ]
+    comps = [qw, qx, qy, qz]
+    best = comps[0]
+    best_i = jnp.zeros_like(qw, dtype=jnp.int32)
+    for i in range(1, 4):
+        take = comps[i] > best
+        best = jnp.where(take, comps[i], best)
+        best_i = jnp.where(take, i, best_i)
+    out = []
+    for c in range(4):
+        v = cands[0][c]
+        for i in range(1, 4):
+            v = jnp.where(best_i == i, cands[i][c], v)
+        out.append(v)
+    n = jnp.sqrt(jnp.clip(
+        out[0] ** 2 + out[1] ** 2 + out[2] ** 2 + out[3] ** 2, 1e-24))
+    return tuple(v / n for v in out)
+
+
+def face_frame_pack(verts: jnp.ndarray, faces: jnp.ndarray) -> jnp.ndarray:
+    """(V, 3) verts + (F, 3) faces → (F, 16) packed face frames.
+
+    Channelwise equivalent of compute_face_orientation + rotmat_to_quat +
+    per-face centers (parity-tested against those)."""
+    vt = jnp.transpose(verts)                            # (3, V), one relayout
+
+    def corner(k):
+        idx = faces[:, k]
+        return vt[0][idx], vt[1][idx], vt[2][idx]
+
+    v0, v1, v2 = corner(0), corner(1), corner(2)
+    e0 = tuple(b - a for a, b in zip(v0, v1))            # v1 - v0
+    e1 = tuple(b - a for a, b in zip(v0, v2))            # v2 - v0
+    a0 = _norm3_ch(*e0)
+    a0, e0n = a0[:3], a0[3]
+    c1 = _cross_ch(*a0, *e1)
+    a1 = _norm3_ch(*c1)[:3]
+    a2 = _a2_ch(a0, a1)
+    s1 = jnp.abs(a2[0] * e1[0] + a2[1] * e1[1] + a2[2] * e1[2])
+    scale = (e0n + s1) / 2.0
+    center = tuple((a + b + c) / 3.0 for a, b, c in zip(v0, v1, v2))
+    # rotation matrix rows from the columns [a0 a1 a2]
+    m = [[a0[i], a1[i], a2[i]] for i in range(3)]
+    q = rotmat_to_quat_ch(m)
+    zero = jnp.zeros_like(scale)
+    rows = jnp.stack(list(center) + [scale] + list(q) + list(a0) + list(a1)
+                     + [zero, zero])                      # (16, F)
+    return jnp.transpose(rows)                            # (F, 16)
+
+
+def unpack_face_frame(g):
+    """(16, C) channel-major gathered pack → dict of channels."""
+    a0 = (g[8], g[9], g[10])
+    a1 = (g[11], g[12], g[13])
+    return {
+        "center": (g[0], g[1], g[2]),
+        "scale": g[3],
+        "quat": (g[4], g[5], g[6], g[7]),
+        "a0": a0, "a1": a1, "a2": _a2_ch(a0, a1),
+    }
+
+
+def relative_rotation_loss_pack(pack_a: jnp.ndarray, pack_b: jnp.ndarray) -> jnp.ndarray:
+    """mean ‖rotvec(R_aᵀ R_b)‖² from two (F, 16) packs, all channelwise."""
+    fa = unpack_face_frame(jnp.transpose(pack_a))
+    fb = unpack_face_frame(jnp.transpose(pack_b))
+    cols_a = [fa["a0"], fa["a1"], fa["a2"]]
+    cols_b = [fb["a0"], fb["a1"], fb["a2"]]
+    # rel[i][j] = (col_i of A) · (col_j of B)
+    rel = [[sum(cols_a[i][k] * cols_b[j][k] for k in range(3))
+            for j in range(3)] for i in range(3)]
+    qw, qx, qy, qz = rotmat_to_quat_ch(rel)
+    # quat_to_rotvec, channelwise (hemisphere + safe axis)
+    flip = qw < 0
+    qw = jnp.where(flip, -qw, qw)
+    qx = jnp.where(flip, -qx, qx)
+    qy = jnp.where(flip, -qy, qy)
+    qz = jnp.where(flip, -qz, qz)
+    sin_half = jnp.sqrt(jnp.clip(qx * qx + qy * qy + qz * qz, 1e-20))
+    angle = 2.0 * jnp.arctan2(sin_half, qw)
+    # ‖rotvec‖² = angle² (axis is unit)
+    return jnp.mean(angle * angle)

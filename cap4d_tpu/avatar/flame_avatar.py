@@ -25,6 +25,8 @@ from flax import struct
 
 from cap4d_tpu.avatar.binding import (
     compute_face_orientation,
+    face_frame_pack,
+    relative_rotation_loss_pack,
     rotmat_to_quat,
     rotmat_to_rotvec,
 )
@@ -141,15 +143,19 @@ def allocate_gaussians(
 
 
 class MeshProperties(NamedTuple):
-    face_center: jnp.ndarray          # (Fr, 3)
-    face_orient: jnp.ndarray          # (Fr, 3, 3)
-    face_quat: jnp.ndarray            # (Fr, 4)
-    face_scaling: jnp.ndarray         # (Fr, 1)
-    neutral_face_center: jnp.ndarray
-    neutral_face_orient: jnp.ndarray
-    neutral_face_scaling: jnp.ndarray
+    """Per-timestep face frames as packed (Fr, 16) rows — see
+    binding.face_frame_pack for the column layout. The dense (Fr,3)/(Fr,3,3)
+    representation was replaced wholesale: its tiny minor dims cost ~150 ms
+    of relayout/slice work per train step on TPU."""
+
+    face_pack: jnp.ndarray            # (Fr, 16) deformed face frames
+    neutral_pack: jnp.ndarray         # (Fr, 16) neutral face frames
     deform_output: jnp.ndarray        # (R, R, 3) — net deformation (unnormalised)
     verts: jnp.ndarray                # (R·R, 3) deformed remesh verts (world)
+
+    @property
+    def face_scaling(self) -> jnp.ndarray:   # (Fr, 1), densification sizes
+        return self.face_pack[:, 3:4]
 
 
 @struct.dataclass
@@ -230,19 +236,9 @@ def mesh_properties(
     v_neu = (remeshed_verts + nodeform_out).reshape(R * R, 3)
     faces = uv.remesh_faces
 
-    orient, scaling = compute_face_orientation(v_def, faces)
-    n_orient, n_scaling = compute_face_orientation(v_neu, faces)
-    center = jnp.mean(v_def[faces], axis=1)
-    n_center = jnp.mean(v_neu[faces], axis=1)
-
     return MeshProperties(
-        face_center=center,
-        face_orient=orient,
-        face_quat=rotmat_to_quat(orient),
-        face_scaling=scaling,
-        neutral_face_center=n_center,
-        neutral_face_orient=n_orient,
-        neutral_face_scaling=n_scaling,
+        face_pack=face_frame_pack(v_def, faces),
+        neutral_pack=face_frame_pack(v_neu, faces),
         deform_output=deform_out,
         verts=v_def,
     )
@@ -261,6 +257,12 @@ def laplacian_loss(deform_output: jnp.ndarray) -> jnp.ndarray:
 
 def relative_deformation_loss(xyz_world: jnp.ndarray, xyz_neutral: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(jnp.sum(((xyz_neutral - xyz_world) / STD_DEFORM) ** 2, axis=1))
+
+
+def relative_deformation_loss_ch(w_ch, n_ch) -> jnp.ndarray:
+    """Channel-tuple variant (3 × (C,) world + neutral positions)."""
+    d = sum(((n - w) / STD_DEFORM) ** 2 for w, n in zip(w_ch, n_ch))
+    return jnp.mean(d)
 
 
 def relative_rotation_loss(neutral_orient: jnp.ndarray, orient: jnp.ndarray) -> jnp.ndarray:

@@ -131,6 +131,49 @@ def world_gaussians(
             "opacities": opac, "sh": sh}
 
 
+def world_gaussians_pack(
+    params: GaussianParams,
+    aux: GaussianAux,
+    face_pack: jnp.ndarray,     # (F, 16) from binding.face_frame_pack
+) -> Dict[str, jnp.ndarray]:
+    """Channelwise world_gaussians: ONE 16-byte-row gather per gaussian plus
+    pure (C,)-vector arithmetic (the dense version's (C,3,3) gather + einsum
+    and minor-dim-3/4 elementwise ops dominate the train-step profile).
+    Returns channel tuples ready for the rasterizer's channel entry."""
+    from cap4d_tpu.avatar.binding import unpack_face_frame
+
+    g = jnp.transpose(face_pack[aux.binding])            # (16, C)
+    f = unpack_face_frame(g)
+    a0, a1, a2, s = f["a0"], f["a1"], f["a2"], f["scale"]
+
+    lx, ly, lz = jnp.transpose(params.xyz)               # (3, C) channels
+    mx = (a0[0] * lx + a1[0] * ly + a2[0] * lz) * s + f["center"][0]
+    my = (a0[1] * lx + a1[1] * ly + a2[1] * lz) * s + f["center"][1]
+    mz = (a0[2] * lx + a1[2] * ly + a2[2] * lz) * s + f["center"][2]
+
+    rw, rx, ry, rz = jnp.transpose(params.rotation)
+    rn = jnp.sqrt(jnp.clip(rw * rw + rx * rx + ry * ry + rz * rz, 1e-24))
+    rw, rx, ry, rz = rw / rn, rx / rn, ry / rn, rz / rn
+    fw, fx, fy, fz = f["quat"]                           # already unit
+    quat = (
+        fw * rw - fx * rx - fy * ry - fz * rz,
+        fw * rx + fx * rw + fy * rz - fz * ry,
+        fw * ry - fx * rz + fy * rw + fz * rx,
+        fw * rz + fx * ry - fy * rx + fz * rw,
+    )
+    s0, s1_, s2_ = jnp.transpose(params.scaling)
+    scales = (jnp.exp(s0) * s, jnp.exp(s1_) * s, jnp.exp(s2_) * s)
+    opac = jax.nn.sigmoid(params.opacity[:, 0]) * aux.active
+    sh = jnp.concatenate([params.features_dc, params.features_rest], axis=1)
+    return {
+        "means3d_ch": (mx, my, mz),
+        "quats_ch": quat,
+        "scales_ch": scales,
+        "opacities": opac,
+        "sh": sh,
+    }
+
+
 # ---------------- densification (static capacity) ----------------
 
 

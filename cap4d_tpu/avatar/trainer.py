@@ -27,6 +27,7 @@ import numpy as np
 
 from cap4d_tpu.avatar import gaussians as G
 from cap4d_tpu.avatar.binding import safe_norm
+from cap4d_tpu.avatar.binding import relative_rotation_loss_pack
 from cap4d_tpu.avatar.flame_avatar import (
     FlameAvatarConfig,
     FlameVariant,
@@ -37,9 +38,8 @@ from cap4d_tpu.avatar.flame_avatar import (
     load_avatar_template,
     make_deform_net,
     mesh_properties,
-    relative_deformation_loss,
+    relative_deformation_loss_ch,
     relative_neck_rotation,
-    relative_rotation_loss,
 )
 from cap4d_tpu.avatar.losses import l1_loss, ssim
 from cap4d_tpu.avatar.lpips import LPIPS
@@ -351,6 +351,7 @@ class AvatarTrainer:
         lpips = self.lpips
         static_neck = cfg.static_neck
 
+        backend = resolve_raster_backend(self.raster_backend)
         raster = make_raster(
             self.raster_backend, width, height, sh_degree,
             self.max_per_tile, self.max_tiles_per_gaussian,
@@ -360,14 +361,23 @@ class AvatarTrainer:
             gp, dp, neck = trainable["gauss"], trainable["deform"], trainable["neck"]
             offset = jnp.zeros(3) if static_neck else neck[t]
             mesh = variant.mesh_props(deform_net, dp, bank, t, offset)
-            world = G.world_gaussians(gp, aux, mesh.face_center, mesh.face_orient,
-                                      mesh.face_quat, mesh.face_scaling)
+            world = G.world_gaussians_pack(gp, aux, mesh.face_pack)
             m2d_zero = trainable["m2d"]
-            out = raster(
-                world["means3d"], world["quats"], world["scales"],
-                world["opacities"], world["sh"], cam["rt"], cam["K"],
-                means2d_offset=m2d_zero, mask=aux.active,
-            )
+            if backend == "pallas":  # channel path: no minor-dim-3/4 arrays
+                out = raster(
+                    None, None, None,
+                    world["opacities"], world["sh"], cam["rt"], cam["K"],
+                    means2d_offset=m2d_zero, mask=aux.active,
+                    channels=world,
+                )
+            else:
+                out = raster(
+                    jnp.stack(world["means3d_ch"], axis=-1),
+                    jnp.stack(world["quats_ch"], axis=-1),
+                    jnp.stack(world["scales_ch"], axis=-1),
+                    world["opacities"], world["sh"], cam["rt"], cam["K"],
+                    means2d_offset=m2d_zero, mask=aux.active,
+                )
             image = out["render"] * mask[..., None]
             gt = gt_image * mask[..., None]
 
@@ -396,14 +406,13 @@ class AvatarTrainer:
             if opt["lambda_laplacian"] != 0:
                 losses["lap"] = laplacian_loss(mesh.deform_output) * opt["lambda_laplacian"]
             if opt["lambda_relative_deform"] != 0:
-                xyz_neutral = G.world_gaussians(
-                    gp, aux, mesh.neutral_face_center, mesh.neutral_face_orient,
-                    mesh.face_quat, mesh.neutral_face_scaling)["means3d"]
-                losses["deform"] = relative_deformation_loss(
-                    world["means3d"], xyz_neutral) * opt["lambda_relative_deform"]
+                neutral = G.world_gaussians_pack(gp, aux, mesh.neutral_pack)
+                losses["deform"] = relative_deformation_loss_ch(
+                    world["means3d_ch"],
+                    neutral["means3d_ch"]) * opt["lambda_relative_deform"]
             if opt["lambda_relative_rot"] != 0:
-                losses["rot"] = relative_rotation_loss(
-                    mesh.neutral_face_orient, mesh.face_orient) * opt["lambda_relative_rot"]
+                losses["rot"] = relative_rotation_loss_pack(
+                    mesh.neutral_pack, mesh.face_pack) * opt["lambda_relative_rot"]
             if opt["lambda_neck"] != 0 and not static_neck:
                 losses["neck"] = safe_norm(neck[t]) * opt["lambda_neck"]
 
@@ -509,14 +518,22 @@ class AvatarTrainer:
                 self.max_per_tile, self.max_tiles_per_gaussian,
                 render_depth=compute_depth)
 
+            backend = resolve_raster_backend(self.raster_backend)
+
             def fn(gp, aux, dp, neck, bank, rt, K, t, far):
                 offset = jnp.zeros(3) if static_neck else neck[t]
                 mesh = variant.mesh_props(deform_net, dp, bank, t, offset)
-                world = G.world_gaussians(gp, aux, mesh.face_center,
-                                          mesh.face_orient, mesh.face_quat,
-                                          mesh.face_scaling)
+                world = G.world_gaussians_pack(gp, aux, mesh.face_pack)
+                if backend == "pallas":
+                    return raster(
+                        None, None, None,
+                        world["opacities"], world["sh"], rt, K,
+                        far=far, mask=aux.active, channels=world,
+                    )
                 return raster(
-                    world["means3d"], world["quats"], world["scales"],
+                    jnp.stack(world["means3d_ch"], axis=-1),
+                    jnp.stack(world["quats_ch"], axis=-1),
+                    jnp.stack(world["scales_ch"], axis=-1),
                     world["opacities"], world["sh"], rt, K,
                     far=far, mask=aux.active,
                 )

@@ -163,6 +163,23 @@ def project_gaussians_ch(
       mean_x, mean_y, conic_a, conic_b, conic_c, depth, radius, valid.
     """
     mx, my, mz = means3d[:, 0], means3d[:, 1], means3d[:, 2]
+    qn = jnp.sqrt(quats[:, 0] ** 2 + quats[:, 1] ** 2
+                  + quats[:, 2] ** 2 + quats[:, 3] ** 2)
+    q_ch = tuple(quats[:, i] / qn for i in range(4))
+    return project_gaussians_channels(
+        (mx, my, mz), q_ch, (scales[:, 0], scales[:, 1], scales[:, 2]),
+        viewmat, K, width, height, near, far, eps2d)
+
+
+def project_gaussians_channels(
+    m_ch, q_ch, s_ch, viewmat, K, width, height,
+    near=0.01, far=1e10, eps2d=0.3,
+):
+    """Channel-tuple entry: m_ch/s_ch are 3 (N,) channels, q_ch 4 UNIT-quat
+    channels — lets callers that already hold channels (world_gaussians_pack)
+    skip the minor-dim-3/4 array slicing entirely."""
+    mx, my, mz = m_ch
+    qw, qx, qy, qz = q_ch
     # constant camera scalars (0-d arrays broadcast against (N,))
     R = [[viewmat[i, j] for j in range(3)] for i in range(3)]
     t0, t1, t2 = viewmat[0, 3], viewmat[1, 3], viewmat[2, 3]
@@ -175,16 +192,13 @@ def project_gaussians_ch(
     mean_x = px / z_safe * fx + cx
     mean_y = py / z_safe * fy + cy
 
-    # rotation matrix entries from quaternions, channelwise
-    qn = jnp.sqrt(quats[:, 0] ** 2 + quats[:, 1] ** 2
-                  + quats[:, 2] ** 2 + quats[:, 3] ** 2)
-    qw, qx, qy, qz = (quats[:, i] / qn for i in range(4))
+    # rotation matrix entries from (unit) quaternion channels
     r = [
         [1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - qw * qz), 2 * (qx * qz + qw * qy)],
         [2 * (qx * qy + qw * qz), 1 - 2 * (qx * qx + qz * qz), 2 * (qy * qz - qw * qx)],
         [2 * (qx * qz - qw * qy), 2 * (qy * qz + qw * qx), 1 - 2 * (qx * qx + qy * qy)],
     ]
-    s = [scales[:, 0], scales[:, 1], scales[:, 2]]
+    s = list(s_ch)
     # M = R(q) @ diag(s);  cov3d = M @ M.T  (6 unique entries)
     m = [[r[i][j] * s[j] for j in range(3)] for i in range(3)]
 

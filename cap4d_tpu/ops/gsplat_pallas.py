@@ -49,7 +49,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from cap4d_tpu.ops.gsplat import eval_sh_ch, project_gaussians_ch
+from cap4d_tpu.ops.gsplat import (
+    eval_sh_ch,
+    project_gaussians_ch,
+    project_gaussians_channels,
+)
 
 TILE = 16                 # pixels per tile side (PX = 256 pixels per tile)
 CHUNK = 128               # gaussians composited per inner step
@@ -320,6 +324,48 @@ def _bwd_kernel(starts_ref, lens_ref, pairs_ref, fwd_out_ref, g_ref,
         dma_out((n_done - 1) % 2, n_done - 1).wait()
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _gather_pairs_t(packed16, sorted_gauss, sorted_pidx, big_idx, s2, n, bs2):
+    """(N+pad?,16) packed rows → (16, m+CHUNK) channel-major sorted pairs.
+
+    Custom VJP: the plain gather's adjoint is a scatter-ADD over 3.5M rows
+    with duplicate indices, which XLA lowers onto the TPU scalar core
+    (measured 255 ms/step). Instead the backward un-sorts the cotangent with
+    a GATHER (inverse permutation from one extra 1-key sort of the carried
+    pair slots) and reduces the window axis densely; only the tiny
+    big-budget tail needs a scatter-add (unique indices, ≤8k rows)."""
+    ps = packed16[sorted_gauss]                           # (m, 16) row gather
+    return jnp.concatenate([
+        jnp.transpose(ps),
+        jnp.zeros((NCH, CHUNK), packed16.dtype),
+    ], axis=1)
+
+
+def _gather_pairs_t_fwd(packed16, sorted_gauss, sorted_pidx, big_idx,
+                        s2, n, bs2):
+    out = _gather_pairs_t(packed16, sorted_gauss, sorted_pidx, big_idx,
+                          s2, n, bs2)
+    return out, (sorted_gauss, sorted_pidx, big_idx)
+
+
+def _gather_pairs_t_bwd(s2, n, bs2, res, g):
+    sorted_gauss, sorted_pidx, big_idx = res
+    m = sorted_pidx.shape[0]
+    g_rows = jnp.transpose(g[:, :m])                      # (m, 16)
+    _, inv = jax.lax.sort_key_val(
+        sorted_pidx, jax.lax.iota(jnp.int32, m))          # inv[p] = sorted slot
+    g_unsorted = g_rows[inv]                              # row gather, no adds
+    base = g_unsorted[:s2 * n].reshape(s2, n, NCH).sum(axis=0)
+    if bs2:
+        B = big_idx.shape[0]
+        bigg = g_unsorted[s2 * n:].reshape(bs2, B, NCH).sum(axis=0)
+        base = base.at[big_idx].add(bigg)
+    return base, None, None, None
+
+
+_gather_pairs_t.defvjp(_gather_pairs_t_fwd, _gather_pairs_t_bwd)
+
+
 @functools.lru_cache(maxsize=None)
 def _make_composite(n_tiles: int, tiles_x: int, m_padded: int, interpret: bool):
     """Composite fwd/bwd over a (10, m_padded) channel-major sorted pair
@@ -413,6 +459,7 @@ def rasterize_gaussians_pallas(
     mask: Optional[jnp.ndarray] = None,
     big_tiles_per_gaussian: int = 49,
     big_budget: int = 8192,
+    channels: Optional[Dict[str, tuple]] = None,
     interpret: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Pallas-path rasterizer; same contract as gsplat.rasterize_gaussians
@@ -426,13 +473,26 @@ def rasterize_gaussians_pallas(
     of large background splats would otherwise force the quadratically
     bigger window, and a recompile, onto all N). Only splats beyond the big
     window or past the budget are clipped, reported via n_truncated."""
-    n = means3d.shape[0]
+    if channels is not None:
+        # channel-tuple inputs (world_gaussians_pack): skip all minor-dim
+        # slicing; quat channels must already be unit
+        m_ch = channels["means3d_ch"]
+        q_ch = channels["quats_ch"]
+        s_ch = channels["scales_ch"]
+        n = m_ch[0].shape[0]
+    else:
+        n = means3d.shape[0]
     if background is None:
         background = jnp.ones(3, jnp.float32)
     side = int(max_tiles_per_gaussian ** 0.5)
 
-    ch = project_gaussians_ch(means3d, quats, scales, viewmat, K,
-                              width, height, near, far)
+    if channels is not None:
+        ch = project_gaussians_channels(m_ch, q_ch, s_ch, viewmat, K,
+                                        width, height, near, far)
+    else:
+        ch = project_gaussians_ch(means3d, quats, scales, viewmat, K,
+                                  width, height, near, far)
+        m_ch = (means3d[:, 0], means3d[:, 1], means3d[:, 2])
     mean_x, mean_y = ch["mean_x"], ch["mean_y"]
     radius, valid, depth = ch["radius"], ch["valid"], ch["depth"]
     if mask is not None:
@@ -444,10 +504,12 @@ def rasterize_gaussians_pallas(
 
     cam_pos = -jnp.matmul(viewmat[:3, :3].T, viewmat[:3, 3],
                           precision=jax.lax.Precision.HIGHEST)
-    dirs = means3d - cam_pos
-    dirs = dirs / jnp.clip(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-8)
+    dx = m_ch[0] - cam_pos[0]
+    dy = m_ch[1] - cam_pos[1]
+    dz = m_ch[2] - cam_pos[2]
+    dn = jnp.clip(jnp.sqrt(dx * dx + dy * dy + dz * dz), 1e-8)
     colors = jnp.clip(
-        eval_sh_ch(sh_colors, dirs[:, 0], dirs[:, 1], dirs[:, 2], sh_degree)
+        eval_sh_ch(sh_colors, dx / dn, dy / dn, dz / dn, sh_degree)
         + 0.5, 0.0)                                     # (3, N)
 
     packed = jnp.stack([
@@ -510,8 +572,9 @@ def rasterize_gaussians_pallas(
     depth_flat = jnp.concatenate(depth_parts)
     gidx_flat = jnp.concatenate(gidx_parts)
     m_pairs = tile_flat.shape[0]
-    sorted_tile, _, sorted_gauss = jax.lax.sort(
-        (tile_flat, depth_flat, gidx_flat), num_keys=2)
+    pidx_flat = jax.lax.iota(jnp.int32, m_pairs)          # original pair slot
+    sorted_tile, _, sorted_gauss, sorted_pidx = jax.lax.sort(
+        (tile_flat, depth_flat, gidx_flat, pidx_flat), num_keys=2)
 
     # ---- per-tile segment table + channel-major sorted pair array ----
     # n_tiles-many searchsorted queries INTO the big array (the cheap
@@ -527,11 +590,10 @@ def rasterize_gaussians_pallas(
     # be aligned to tiling (8)"), so the 10 used channels are padded to 16
     packed16 = jnp.concatenate(
         [packed, jnp.zeros((n, NCH - 10), packed.dtype)], axis=1)
-    packed_sorted = packed16[sorted_gauss]                # (m_pairs, 16)
-    pairs_t = jnp.concatenate([
-        jnp.transpose(packed_sorted),                     # (16, m_pairs)
-        jnp.zeros((NCH, CHUNK), packed_sorted.dtype),
-    ], axis=1)
+    pairs_t = _gather_pairs_t(
+        packed16, sorted_gauss, sorted_pidx,
+        big_idx if use_big else None, s2, n,
+        big_side * big_side if use_big else 0)
 
     composite = _make_composite(n_tiles, tiles_x, m_pairs + CHUNK, interpret)
     out = composite(pairs_t, starts, lens)                # (n_tiles, PX, 8)

@@ -15,7 +15,7 @@ from typing import Dict, List
 import jax.numpy as jnp
 import numpy as np
 
-from cap4d_tpu.avatar.binding import compute_face_orientation, rotmat_to_quat
+from cap4d_tpu.avatar.binding import face_frame_pack
 from cap4d_tpu.avatar.flame_avatar import MeshProperties, UVAssets, build_uv_assets, uv_resample
 from cap4d_tpu.smpl.model import SMPLModel, smpl_forward
 
@@ -78,13 +78,9 @@ class SMPLVariant:
         R = self.uv.resolution
         v = remeshed.reshape(R * R, 3)
         faces = self.uv.remesh_faces
-        orient, scaling = compute_face_orientation(v, faces)
-        center = jnp.mean(v[faces], axis=1)
+        pack = face_frame_pack(v, faces)
         return MeshProperties(
-            face_center=center, face_orient=orient,
-            face_quat=rotmat_to_quat(orient), face_scaling=scaling,
-            neutral_face_center=center, neutral_face_orient=orient,
-            neutral_face_scaling=scaling,
+            face_pack=pack, neutral_pack=pack,
             deform_output=jnp.zeros((R, R, 3)),
             verts=v,
         )

@@ -161,6 +161,84 @@ def test_world_gaussians_transform():
     assert np.all(np.asarray(world["opacities"][6:]) == 0)
 
 
+def test_face_frame_pack_matches_dense():
+    """face_frame_pack / rotmat_to_quat_ch vs the dense oracle-tested path."""
+    from cap4d_tpu.avatar.binding import (
+        face_frame_pack,
+        rotmat_to_quat,
+    )
+
+    rng = np.random.default_rng(7)
+    verts = jnp.asarray(rng.normal(size=(50, 3)).astype(np.float32))
+    # distinct indices per face: degenerate faces normalise rounding noise
+    # into an arbitrary (but harmless) frame direction in either path
+    faces = jnp.asarray(np.stack(
+        [rng.choice(50, size=3, replace=False) for _ in range(40)]
+    ).astype(np.int32))
+    pack = np.asarray(face_frame_pack(verts, faces))
+
+    orient, scale = compute_face_orientation(verts, faces)
+    quat = rotmat_to_quat(orient)
+    center = jnp.mean(verts[faces], axis=1)
+    np.testing.assert_allclose(pack[:, 0:3], np.asarray(center), atol=1e-5)
+    np.testing.assert_allclose(pack[:, 3], np.asarray(scale)[:, 0], atol=1e-5)
+    # quats up to sign (both normalised)
+    qd = np.asarray(quat)
+    qp = pack[:, 4:8]
+    sign = np.sign(np.sum(qd * qp, axis=-1, keepdims=True))
+    np.testing.assert_allclose(qp * sign, qd, atol=1e-4)
+    np.testing.assert_allclose(pack[:, 8:11], np.asarray(orient)[:, :, 0], atol=1e-5)
+    np.testing.assert_allclose(pack[:, 11:14], np.asarray(orient)[:, :, 1], atol=1e-5)
+
+
+def test_world_gaussians_pack_matches_dense():
+    from cap4d_tpu.avatar.binding import face_frame_pack, rotmat_to_quat
+
+    params, aux = _tiny_gaussians()
+    rng = np.random.default_rng(3)
+    verts = jnp.asarray(rng.normal(size=(30, 3)).astype(np.float32))
+    faces = jnp.asarray(rng.integers(0, 30, size=(3, 3)).astype(np.int32))
+    orient, scaling = compute_face_orientation(verts, faces)
+    center = jnp.mean(verts[faces], axis=1)
+    quat = rotmat_to_quat(orient)
+
+    dense = G.world_gaussians(params, aux, center, orient, quat, scaling)
+    packv = G.world_gaussians_pack(params, aux, face_frame_pack(verts, faces))
+    np.testing.assert_allclose(
+        np.asarray(jnp.stack(packv["means3d_ch"], axis=-1)),
+        np.asarray(dense["means3d"]), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(jnp.stack(packv["scales_ch"], axis=-1)),
+        np.asarray(dense["scales"]), atol=1e-5)
+    qd = np.asarray(dense["quats"])
+    qp = np.asarray(jnp.stack(packv["quats_ch"], axis=-1))
+    sign = np.sign(np.sum(qd * qp, axis=-1, keepdims=True))
+    np.testing.assert_allclose(qp * sign, qd, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(packv["opacities"]),
+                               np.asarray(dense["opacities"]), atol=1e-6)
+
+
+def test_relative_rotation_loss_pack_matches_dense():
+    from cap4d_tpu.avatar.binding import (
+        face_frame_pack,
+        relative_rotation_loss_pack,
+    )
+    from cap4d_tpu.avatar.flame_avatar import relative_rotation_loss
+
+    rng = np.random.default_rng(11)
+    verts = jnp.asarray(rng.normal(size=(60, 3)).astype(np.float32))
+    verts2 = verts + 0.1 * jnp.asarray(rng.normal(size=(60, 3)).astype(np.float32))
+    faces = jnp.asarray(np.stack(
+        [rng.choice(60, size=3, replace=False) for _ in range(50)]
+    ).astype(np.int32))
+    o1, _ = compute_face_orientation(verts, faces)
+    o2, _ = compute_face_orientation(verts2, faces)
+    dense = float(relative_rotation_loss(o1, o2))
+    packed = float(relative_rotation_loss_pack(
+        face_frame_pack(verts, faces), face_frame_pack(verts2, faces)))
+    assert abs(dense - packed) < 1e-4 * max(1.0, dense)
+
+
 def test_grow_capacity(tmp_path):
     """Capacity growth preserves state and unlocks further densification."""
     import types
