@@ -232,6 +232,10 @@ def bench_fit(iters=20):
 def main():
     _enable_compile_cache()
     primary = bench_denoise()
+    # emit the flagship metric IMMEDIATELY: if the driver's timeout kills the
+    # render/fit parts (a cold compile cache through the remote relay can
+    # cost many minutes), a parseable line already exists in the tail
+    print(json.dumps(primary), flush=True)
     extra = []
     for fn in (bench_render, bench_fit):
         try:
@@ -240,7 +244,7 @@ def main():
             traceback.print_exc()
             extra.append({"metric": fn.__name__, "value": None,
                           "unit": "FAILED", "vs_baseline": None})
-    print(json.dumps({**primary, "extra": extra}))
+    print(json.dumps({**primary, "extra": extra}), flush=True)
 
 
 if __name__ == "__main__":
