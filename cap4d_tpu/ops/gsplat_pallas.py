@@ -6,13 +6,16 @@ renderer remains as the CPU/test fallback). It replaces the CUDA
 (gaussianavatars/gaussian_renderer/gsplat_renderer.py:45-60) with a
 TPU-native design:
 
-  * XLA side: channelwise EWA projection + SH, pair expansion (gaussian ×
-    overlapped tile), one sort by (tile, depth), ONE row gather into
-    depth-sorted order, and a transpose to a (10, m_pairs) channel-major
-    array. No chunk alignment or padding happens in XLA — a profiled earlier
-    revision spent 191 ms in a scalar-core searchsorted and 77 ms in a
-    segmented re-copy doing that; the kernel now addresses the sorted array
-    directly.
+  * XLA side: channelwise EWA projection + SH, budgeted three-level pair
+    expansion (2×2 / mid / big windows assigned by span rank — one
+    gaussian-level sort + static slices), ONE pair sort over a single fused
+    int32 key (tile << rank_bits | exact-depth-rank) carrying a single
+    value (the pair slot, which decodes to its gaussian with integer
+    arithmetic), ONE row gather into depth-sorted order, and a transpose to
+    a (10, m_pairs) channel-major array. No chunk alignment or padding
+    happens in XLA — a profiled earlier revision spent 191 ms in a
+    scalar-core searchsorted and 77 ms in a segmented re-copy doing that;
+    the kernel addresses the sorted array directly.
   * Pallas forward: one grid step per 16×16 tile. The kernel walks the
     tile's pair segment [start, start+len) in CHUNK-column slices via
     double-buffered dynamic-offset HBM→VMEM DMA and composites
@@ -324,43 +327,71 @@ def _bwd_kernel(starts_ref, lens_ref, pairs_ref, fwd_out_ref, g_ref,
         dma_out((n_done - 1) % 2, n_done - 1).wait()
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _gather_pairs_t(packed16, sorted_gauss, sorted_pidx, big_idx, s2, n, bs2):
-    """(N+pad?,16) packed rows → (16, m+CHUNK) channel-major sorted pairs.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _gather_pairs_t(packed16, gperm, ginv, sorted_slot, budgets, sides2):
+    """(N,16) packed rows → (16, m+CHUNK) channel-major sorted pairs.
 
-    Custom VJP: the plain gather's adjoint is a scatter-ADD over 3.5M rows
-    with duplicate indices, which XLA lowers onto the TPU scalar core
-    (measured 255 ms/step). Instead the backward un-sorts the cotangent with
-    a GATHER (inverse permutation from one extra 1-key sort of the carried
-    pair slots) and reduces the window axis densely; only the tiny
-    big-budget tail needs a scatter-add (unique indices, ≤8k rows)."""
-    ps = packed16[sorted_gauss]                           # (m, 16) row gather
+    ``sorted_slot`` carries each sorted pair's ORIGINAL slot in the
+    level-concatenated (window, gaussian) layout; the slot decodes to a
+    level-sorted gaussian index with pure integer arithmetic (budgets are
+    static), so the forward is one composed row gather.
+
+    Custom VJP: the plain gather's adjoint is a scatter-ADD over millions of
+    rows with duplicate indices, which XLA lowers onto the TPU scalar core
+    (measured 255 ms/step in round 2). Instead the backward un-sorts the
+    cotangent with a GATHER (inverse permutation from one 1-key sort of the
+    carried pair slots), reduces each level's window axis densely, and
+    un-permutes the per-gaussian rows with the precomputed inverse gaussian
+    permutation — no scatter anywhere."""
+    g_s = _decode_slots(sorted_slot, budgets, sides2)
+    ps = packed16[gperm[g_s]]                             # (m, 16) row gather
     return jnp.concatenate([
         jnp.transpose(ps),
         jnp.zeros((NCH, CHUNK), packed16.dtype),
     ], axis=1)
 
 
-def _gather_pairs_t_fwd(packed16, sorted_gauss, sorted_pidx, big_idx,
-                        s2, n, bs2):
-    out = _gather_pairs_t(packed16, sorted_gauss, sorted_pidx, big_idx,
-                          s2, n, bs2)
-    return out, (sorted_gauss, sorted_pidx, big_idx)
+def _decode_slots(slots, budgets, sides2):
+    """Original pair slot → index into the LEVEL-SORTED gaussian order.
+
+    Level ℓ contributes a (sides2[ℓ], budgets[ℓ]) window×gaussian block,
+    flattened window-major, so within a block  g = rel % budget."""
+    g_s = jnp.zeros_like(slots)
+    lo = 0
+    goff = 0
+    for b, s2 in zip(budgets, sides2):
+        if b == 0:
+            continue
+        hi = lo + b * s2
+        sel = (slots >= lo) & (slots < hi)
+        g_s = jnp.where(sel, goff + (slots - lo) % b, g_s)
+        lo = hi
+        goff += b
+    return g_s
 
 
-def _gather_pairs_t_bwd(s2, n, bs2, res, g):
-    sorted_gauss, sorted_pidx, big_idx = res
-    m = sorted_pidx.shape[0]
+def _gather_pairs_t_fwd(packed16, gperm, ginv, sorted_slot, budgets, sides2):
+    out = _gather_pairs_t(packed16, gperm, ginv, sorted_slot, budgets, sides2)
+    return out, (gperm, ginv, sorted_slot)
+
+
+def _gather_pairs_t_bwd(budgets, sides2, res, g):
+    gperm, ginv, sorted_slot = res
+    m = sorted_slot.shape[0]
     g_rows = jnp.transpose(g[:, :m])                      # (m, 16)
     _, inv = jax.lax.sort_key_val(
-        sorted_pidx, jax.lax.iota(jnp.int32, m))          # inv[p] = sorted slot
+        sorted_slot, jax.lax.iota(jnp.int32, m))          # inv[p] = sorted pos
     g_unsorted = g_rows[inv]                              # row gather, no adds
-    base = g_unsorted[:s2 * n].reshape(s2, n, NCH).sum(axis=0)
-    if bs2:
-        B = big_idx.shape[0]
-        bigg = g_unsorted[s2 * n:].reshape(bs2, B, NCH).sum(axis=0)
-        base = base.at[big_idx].add(bigg)
-    return base, None, None, None
+    parts = []
+    lo = 0
+    for b, s2 in zip(budgets, sides2):
+        if b == 0:
+            continue
+        hi = lo + b * s2
+        parts.append(g_unsorted[lo:hi].reshape(s2, b, NCH).sum(axis=0))
+        lo = hi
+    d_sorted = jnp.concatenate(parts, axis=0)             # (n, 16) level order
+    return d_sorted[ginv], None, None, None
 
 
 _gather_pairs_t.defvjp(_gather_pairs_t_fwd, _gather_pairs_t_bwd)
@@ -438,7 +469,7 @@ def _make_composite(n_tiles: int, tiles_x: int, m_padded: int, interpret: bool):
 
 @functools.partial(jax.jit, static_argnames=(
     "width", "height", "sh_degree", "max_tiles_per_gaussian", "render_depth",
-    "big_tiles_per_gaussian", "big_budget", "interpret"))
+    "big_tiles_per_gaussian", "big_budget", "mid_budget", "interpret"))
 def rasterize_gaussians_pallas(
     means3d: jnp.ndarray,     # (N, 3) world
     quats: jnp.ndarray,       # (N, 4) wxyz
@@ -459,6 +490,7 @@ def rasterize_gaussians_pallas(
     mask: Optional[jnp.ndarray] = None,
     big_tiles_per_gaussian: int = 49,
     big_budget: int = 8192,
+    mid_budget: int = 32768,
     channels: Optional[Dict[str, tuple]] = None,
     interpret: bool = False,
 ) -> Dict[str, jnp.ndarray]:
@@ -466,13 +498,14 @@ def rasterize_gaussians_pallas(
     minus the per-tile cap (`max_per_tile` does not exist here: compositing
     is exact for any overlap depth).
 
-    Footprint handling is two-level: every gaussian gets a side×side
-    (max_tiles_per_gaussian) candidate window, and up to `big_budget` of the
-    largest-radius gaussians that exceed it get a big_side×big_side window
-    instead (a fixed-cost second expansion over a top-k subset — a handful
-    of large background splats would otherwise force the quadratically
-    bigger window, and a recompile, onto all N). Only splats beyond the big
-    window or past the budget are clipped, reported via n_truncated."""
+    Footprint handling is three-level and budgeted by span rank: every
+    gaussian gets a 2×2 base window (exact for span ≤ 2 — the vast majority
+    after densification), the `mid_budget` largest-span gaussians beyond
+    that get a side×side (max_tiles_per_gaussian) window, and the
+    `big_budget` largest a big_side×big_side window (a handful of large
+    background splats would otherwise force the quadratically bigger window,
+    and a recompile, onto all N). Only splats whose span exceeds their
+    rank-assigned window are clipped, reported via n_truncated."""
     if channels is not None:
         # channel-tuple inputs (world_gaussians_pack): skip all minor-dim
         # slicing; quat channels must already be unit
@@ -517,7 +550,16 @@ def rasterize_gaussians_pallas(
         opacities, colors[0], colors[1], colors[2], depth,
     ], axis=-1)                                          # (N, 10)
 
-    # ---- pair expansion, (side², N) layout so N stays on lanes ----
+    # ---- budgeted multi-level pair expansion + ONE fused-key 1-key sort ----
+    # Every gaussian gets a window sized by its tile span: a 2×2 base window
+    # covers span ≤ 2 (the vast majority of densified splats), a side×side
+    # mid window (`max_tiles_per_gaussian`) covers the next `mid_budget`
+    # largest spans, and a big_side×big_side window the `big_budget` largest.
+    # Level membership is one gaussian-level sort + static rank slices (no
+    # top_k, no scatters). This cuts the pair count ~2.5× vs the uniform
+    # side² expansion round 2 used — and the pair sort carries ONE int32 key
+    # (tile << rank_bits | depth_rank) + ONE value (pair slot) instead of
+    # round 2's 2-key/4-array sort (profiled at ~45 ms/step at 3.5M pairs).
     tiles_x = (width + TILE - 1) // TILE
     tiles_y = (height + TILE - 1) // TILE
     n_tiles = tiles_x * tiles_y
@@ -528,72 +570,80 @@ def rasterize_gaussians_pallas(
     span = jnp.maximum(tx1 - tx0, ty1 - ty0) + 1
 
     big_side = int(big_tiles_per_gaussian ** 0.5)
-    big_budget = min(big_budget, n)
-    use_big = big_budget > 0 and big_side > side
-    is_big = valid & (span > side) if use_big else jnp.zeros_like(valid)
+    base_side = min(2, side)
+    sides = [big_side, side, base_side]
+    b_big = min(big_budget, n) if big_side > side else 0
+    b_mid = min(mid_budget, n - b_big) if side > base_side else 0
+    b_base = n - b_big - b_mid
+    budgets = (b_big, b_mid, b_base)
+    sides2 = tuple(s * s for s in sides)
 
-    def window(sd, x0, y0, x1, y1, vld, nn):
+    # level per gaussian (2=big .. 0=base); invalid → base (fewest slots)
+    span_eff = jnp.where(valid, span, 1)
+    level = ((span_eff > base_side).astype(jnp.int32)
+             + (span_eff > side).astype(jnp.int32))
+    iota_n = jax.lax.iota(jnp.int32, n)
+    _, gperm = jax.lax.sort_key_val(-level, iota_n)       # big levels first
+    _, ginv = jax.lax.sort_key_val(gperm, iota_n)
+
+    # exact global depth order as an integer rank (no quantization): two
+    # small N-sorts; ties broken deterministically by gaussian index
+    _, order = jax.lax.sort_key_val(depth, iota_n)
+    _, rank = jax.lax.sort_key_val(order, iota_n)
+    rank_bits = max((n - 1).bit_length(), 1)
+    assert (n_tiles + 1) << rank_bits < 2 ** 31, \
+        "fused sort key overflows int32 (tiles × gaussians too large)"
+
+    # per-gaussian channels in level-sorted order
+    sx0, sy0, sx1, sy1 = tx0[gperm], ty0[gperm], tx1[gperm], ty1[gperm]
+    s_valid, s_rank = valid[gperm], rank[gperm]
+    s_span = span[gperm]
+
+    def window_keys(sd, lo, b):
+        """(sd², b) fused sort keys for level slice [lo, lo+b)."""
         s2_ = sd * sd
-        di = jax.lax.broadcasted_iota(jnp.int32, (s2_, 1), 0) // sd
-        dj = jax.lax.broadcasted_iota(jnp.int32, (s2_, 1), 0) % sd
-        cy = y0[None, :] + di
-        cx = x0[None, :] + dj
-        ok = (vld[None, :]
+        w_i = jax.lax.broadcasted_iota(jnp.int32, (s2_, 1), 0)
+        cy = sy0[None, lo:lo + b] + w_i // sd
+        cx = sx0[None, lo:lo + b] + w_i % sd
+        ok = (s_valid[None, lo:lo + b]
               & (cx >= 0) & (cx < tiles_x) & (cy >= 0) & (cy < tiles_y)
-              & (cx <= x1[None, :]) & (cy <= y1[None, :]))
-        return jnp.where(ok, cy * tiles_x + cx, n_tiles)
+              & (cx <= sx1[None, lo:lo + b]) & (cy <= sy1[None, lo:lo + b]))
+        tile = cy * tiles_x + cx
+        return jnp.where(ok, (tile << rank_bits) | s_rank[None, lo:lo + b],
+                         n_tiles << rank_bits)
 
-    pair_tile = window(side, tx0, ty0, tx1, ty1, valid & ~is_big, n)
-    s2 = side * side
-    tile_parts = [pair_tile.reshape(-1)]
-    depth_parts = [jnp.broadcast_to(depth[None, :], (s2, n)).reshape(-1)]
-    gidx_parts = [jnp.broadcast_to(
-        jax.lax.broadcasted_iota(jnp.int32, (1, n), 1), (s2, n)).reshape(-1)]
+    key_parts = []
+    lo = 0
+    for sd, b in zip(sides, budgets):
+        if b:
+            key_parts.append(window_keys(sd, lo, b).reshape(-1))
+        lo += b
+    key_all = jnp.concatenate(key_parts)
+    m_pairs = key_all.shape[0]
+    sorted_key, sorted_slot = jax.lax.sort_key_val(
+        key_all, jax.lax.iota(jnp.int32, m_pairs))
 
-    if use_big:
-        # fixed-budget second expansion for the largest-footprint splats
-        big_r = jnp.where(is_big, radius, -1.0)
-        _, big_idx = jax.lax.top_k(big_r, big_budget)
-        big_ok = big_r[big_idx] > 0
-        bs2 = big_side * big_side
-        big_tile = window(big_side, tx0[big_idx], ty0[big_idx],
-                          tx1[big_idx], ty1[big_idx], big_ok, big_budget)
-        tile_parts.append(big_tile.reshape(-1))
-        depth_parts.append(jnp.broadcast_to(
-            depth[big_idx][None, :], (bs2, big_budget)).reshape(-1))
-        gidx_parts.append(jnp.broadcast_to(
-            big_idx[None, :], (bs2, big_budget)).reshape(-1))
-        n_truncated = (jnp.sum((span > big_side) & valid)
-                       + jnp.maximum(jnp.sum(is_big) - big_budget, 0))
-    else:
-        n_truncated = jnp.sum((span > side) & valid)
-
-    tile_flat = jnp.concatenate(tile_parts)
-    depth_flat = jnp.concatenate(depth_parts)
-    gidx_flat = jnp.concatenate(gidx_parts)
-    m_pairs = tile_flat.shape[0]
-    pidx_flat = jax.lax.iota(jnp.int32, m_pairs)          # original pair slot
-    sorted_tile, _, sorted_gauss, sorted_pidx = jax.lax.sort(
-        (tile_flat, depth_flat, gidx_flat, pidx_flat), num_keys=2)
+    # a splat whose span exceeds its rank-assigned window is clipped
+    assigned = jnp.concatenate([
+        jnp.full((b,), sd, jnp.int32) for sd, b in zip(sides, budgets)])
+    n_truncated = jnp.sum(s_valid & (s_span > assigned))
 
     # ---- per-tile segment table + channel-major sorted pair array ----
     # n_tiles-many searchsorted queries INTO the big array (the cheap
     # direction); ONE row gather; ONE transpose. CHUNK extra zero columns
     # keep the last tile's final partial-chunk DMA in bounds.
-    tids = jnp.arange(n_tiles, dtype=jnp.int32)
-    starts = jnp.searchsorted(sorted_tile, tids, side="left").astype(jnp.int32)
-    ends = jnp.searchsorted(sorted_tile, tids, side="right").astype(jnp.int32)
-    lens = ends - starts
+    tids = jnp.arange(n_tiles + 1, dtype=jnp.int32)
+    bounds = jnp.searchsorted(sorted_key, tids << rank_bits,
+                              side="left").astype(jnp.int32)
+    starts, lens = bounds[:-1], bounds[1:] - bounds[:-1]
 
     # NCH=16 channel rows: dynamic-offset DMA slices must cover a
     # sublane-aligned row count (Mosaic: "slice shape along dimension 0 must
     # be aligned to tiling (8)"), so the 10 used channels are padded to 16
     packed16 = jnp.concatenate(
         [packed, jnp.zeros((n, NCH - 10), packed.dtype)], axis=1)
-    pairs_t = _gather_pairs_t(
-        packed16, sorted_gauss, sorted_pidx,
-        big_idx if use_big else None, s2, n,
-        big_side * big_side if use_big else 0)
+    pairs_t = _gather_pairs_t(packed16, gperm, ginv, sorted_slot,
+                              budgets, sides2)
 
     composite = _make_composite(n_tiles, tiles_x, m_pairs + CHUNK, interpret)
     out = composite(pairs_t, starts, lens)                # (n_tiles, PX, 8)

@@ -162,3 +162,73 @@ def test_pallas_depth_far_clip_and_mask():
         32, 32, sh_degree=0, mask=mask, max_tiles_per_gaussian=36,
         interpret=True)
     np.testing.assert_allclose(np.asarray(out3["alpha"]), 0.0, atol=1e-6)
+
+
+def test_pallas_three_level_budgets_fwd_and_grad():
+    """Small budgets force gaussians through ALL THREE window levels
+    (2×2 base / mid / big). Forward must still match the brute-force
+    compositor exactly and gradients must match the XLA path — this
+    exercises the slot-decode and per-level window reductions of the
+    budgeted expansion (big-level-only coverage misses them)."""
+    rng = np.random.default_rng(11)
+    n = 60
+    means = rng.uniform(-0.35, 0.35, size=(n, 3)).astype(np.float32)
+    means[:, 2] = rng.uniform(2.5, 4.0, size=n)
+    quats = np.tile(np.array([1.0, 0, 0, 0], np.float32), (n, 1))
+    # mixed sizes: mostly small (span<=2), some medium, a couple huge
+    scales = np.full((n, 3), 0.02, np.float32)
+    scales[:8] = 0.12          # mid-level spans
+    scales[:2] = 0.45          # big-level spans
+    opac = rng.uniform(0.3, 0.9, size=(n,)).astype(np.float32)
+    sh = np.zeros((n, 2, 3), np.float32)
+    sh[:, 0] = rng.uniform(-0.5, 0.5, size=(n, 3))
+    viewmat = np.eye(4, dtype=np.float32)
+    K = np.array([[90.0, 0, 32], [0, 90.0, 32], [0, 0, 1]], np.float32)
+    W = H = 64
+    kw = dict(max_tiles_per_gaussian=16, big_tiles_per_gaussian=81,
+              big_budget=4, mid_budget=12)
+
+    out = rasterize_gaussians_pallas(
+        jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+        jnp.asarray(opac), jnp.asarray(sh), jnp.asarray(viewmat),
+        jnp.asarray(K), W, H, sh_degree=1, interpret=True, **kw)
+    assert int(out["n_truncated"]) == 0
+    ref_img, ref_alpha = numpy_render(
+        means, quats, scales, opac, sh, viewmat, K, W, H, 1,
+        np.ones(3, np.float32))
+    np.testing.assert_allclose(np.asarray(out["render"]), ref_img, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out["alpha"]), ref_alpha, atol=2e-3)
+
+    target = jnp.zeros((H, W, 3))
+
+    def make_loss(raster, **kw2):
+        def loss_fn(means3d, scales_, opac_, sh_):
+            o = raster(means3d, jnp.asarray(quats), scales_, opac_, sh_,
+                       jnp.asarray(viewmat), jnp.asarray(K), W, H,
+                       sh_degree=1, **kw2)
+            return jnp.mean((o["render"] - target) ** 2) + 0.1 * jnp.mean(o["alpha"])
+        return loss_fn
+
+    args = (jnp.asarray(means), jnp.asarray(scales), jnp.asarray(opac),
+            jnp.asarray(sh))
+    g_xla = jax.grad(make_loss(rasterize_gaussians, max_per_tile=128,
+                               tile_chunk=4, max_tiles_per_gaussian=81),
+                     argnums=(0, 1, 2, 3))(*args)
+    g_pal = jax.grad(make_loss(rasterize_gaussians_pallas, interpret=True,
+                               **kw), argnums=(0, 1, 2, 3))(*args)
+    for name, gx, gp in zip(["means", "scales", "opac", "sh"], g_xla, g_pal):
+        gx, gp = np.asarray(gx), np.asarray(gp)
+        assert np.isfinite(gp).all(), name
+        scale = np.abs(gx).max() + 1e-12
+        np.testing.assert_allclose(gp / scale, gx / scale, atol=5e-4,
+                                   err_msg=name)
+
+    # mid-budget overflow (only 1 big + 1 mid slot for 10 medium splats)
+    # must be COUNTED, not silent
+    out2 = rasterize_gaussians_pallas(
+        jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+        jnp.asarray(opac), jnp.asarray(sh), jnp.asarray(viewmat),
+        jnp.asarray(K), W, H, sh_degree=1, max_tiles_per_gaussian=16,
+        big_tiles_per_gaussian=81, big_budget=1, mid_budget=1,
+        interpret=True)
+    assert int(out2["n_truncated"]) > 0
