@@ -9,8 +9,10 @@ Reference parity:
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -214,6 +216,42 @@ def face_frame_pack(verts: jnp.ndarray, faces: jnp.ndarray) -> jnp.ndarray:
     rows = jnp.stack(list(center) + [scale] + list(q) + list(a0) + list(a1)
                      + [zero, zero])                      # (16, F)
     return jnp.transpose(rows)                            # (F, 16)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def gather_pack_rows(pack, binding, n_faces):
+    """``pack[binding]``: (F, P) face rows → (C, P) per-gaussian rows.
+
+    Custom VJP: the plain gather's adjoint is a scatter-add over C≈350k
+    duplicate face indices, which XLA lowers onto the TPU scalar core
+    (profiled ~4 ms per call plus a ~25 ms SMEM index-staging copy per train
+    step). The backward instead sorts the cotangent rows by binding (one
+    int sort + one row gather), takes a running cumsum, and reads each
+    face's segment sum as a difference of two boundary rows — all
+    lane-vectorized ops."""
+    return pack[binding]
+
+
+def _gather_pack_rows_fwd(pack, binding, n_faces):
+    return pack[binding], binding
+
+
+def _gather_pack_rows_bwd(n_faces, binding, g):
+    C = binding.shape[0]
+    sb, perm = jax.lax.sort_key_val(binding, jax.lax.iota(jnp.int32, C))
+    gs = g[perm]                                        # (C, P) row gather
+    gs = jax.lax.optimization_barrier(gs)
+    cs = jnp.cumsum(gs.astype(jnp.float32), axis=0)
+    cs0 = jnp.concatenate(
+        [jnp.zeros((1, gs.shape[1]), cs.dtype), cs], axis=0)
+    bounds = jnp.searchsorted(
+        sb, jnp.arange(n_faces + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    d = cs0[bounds[1:]] - cs0[bounds[:-1]]              # (F, P) row gathers
+    return d.astype(g.dtype), None
+
+
+gather_pack_rows.defvjp(_gather_pack_rows_fwd, _gather_pack_rows_bwd)
 
 
 def unpack_face_frame(g):

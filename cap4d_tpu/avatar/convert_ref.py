@@ -202,16 +202,42 @@ def build_reference_capture(trainer, iteration: int) -> Dict[str, Any]:
         deform_param_ids.append(pidx)
         add_state(m, v)
 
+    # real per-group learning rates: torch's optimizer.load_state_dict
+    # OVERWRITES the freshly-initialized group lrs with these, and the
+    # reference's update_learning_rate only re-sets xyz and deform_net each
+    # iteration (cap4d_gaussian_model.py:426-441) — zeros here would leave
+    # f_dc/f_rest/opacity/scaling/rotation silently frozen on a reference
+    # resume. xyz/deform carry their scheduled value at `iteration`.
+    from cap4d_tpu.avatar.trainer import expon_lr
+    opt = trainer.opt
+    sls = float(getattr(trainer, "spatial_lr_scale", 1.0)) or 1.0
+    group_lrs = {
+        "xyz": expon_lr(iteration,
+                        opt["position_lr_init"] * sls,
+                        opt["position_lr_final"] * sls,
+                        lr_delay_mult=opt["position_lr_delay_mult"],
+                        max_steps=opt["position_lr_max_steps"]),
+        "f_dc": opt["feature_lr"],
+        "f_rest": opt["feature_lr"] / 20.0,
+        "opacity": opt["opacity_lr"],
+        "scaling": opt["scaling_lr"],
+        "rotation": opt["rotation_lr"],
+        "deform_net": expon_lr(
+            iteration, opt["deform_net_lr_init"], opt["deform_net_lr_final"],
+            lr_delay_mult=opt["deform_net_lr_delay_mult"],
+            max_steps=opt["deform_net_lr_max_steps"]),
+    }
     opt_state = {
         "state": state,
         "param_groups": [
-            {"lr": 0.0, "betas": (0.9, 0.999), "eps": 1e-15,
+            {"lr": float(group_lrs[g]), "betas": (0.9, 0.999), "eps": 1e-15,
              "weight_decay": 0, "amsgrad": False, "maximize": False,
              "foreach": None, "capturable": False, "differentiable": False,
              "fused": None, "name": g, "params": [i]}
             for i, g in enumerate(_GAUSS_GROUPS)
         ] + [
-            {"lr": 0.0, "betas": (0.9, 0.999), "eps": 1e-15,
+            {"lr": float(group_lrs["deform_net"]), "betas": (0.9, 0.999),
+             "eps": 1e-15,
              "weight_decay": float(trainer.opt.get("deform_net_w_decay", 0.0)),
              "amsgrad": False, "maximize": False, "foreach": None,
              "capturable": False, "differentiable": False, "fused": None,

@@ -140,9 +140,12 @@ def world_gaussians_pack(
     pure (C,)-vector arithmetic (the dense version's (C,3,3) gather + einsum
     and minor-dim-3/4 elementwise ops dominate the train-step profile).
     Returns channel tuples ready for the rasterizer's channel entry."""
-    from cap4d_tpu.avatar.binding import unpack_face_frame
+    from cap4d_tpu.avatar.binding import gather_pack_rows, unpack_face_frame
 
-    g = jnp.transpose(face_pack[aux.binding])            # (16, C)
+    rows = gather_pack_rows(face_pack, aux.binding, face_pack.shape[0])
+    # barrier: keeps the row gather row-major instead of a fused
+    # column-major gather (see ops/gsplat_pallas._gather_pairs_t)
+    g = jnp.transpose(jax.lax.optimization_barrier(rows))  # (16, C)
     f = unpack_face_frame(g)
     a0, a1, a2, s = f["a0"], f["a1"], f["a2"], f["scale"]
 

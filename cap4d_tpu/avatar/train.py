@@ -110,6 +110,7 @@ def training(
     step_fns = {}
     n_iter = opt_params["iterations"]
     ema_loss = 0.0
+    _warned_cap_ceiling = False
     adam_step = 0
     t_start = time.perf_counter()
 
@@ -131,10 +132,14 @@ def training(
                                                       trainer.active_sh_degree)
         step_fn = step_fns[key]
 
-        # scheduled lrs (cap4d_gaussian_model.py:426-441)
+        # scheduled lrs (cap4d_gaussian_model.py:426-441); xyz is scaled by
+        # cameras_extent (gaussian_model.py:216,225-228 — 1.0 for CAP4D,
+        # 2.0 for the SMPL dataset, dataset_readers.py:608,665)
+        sls = trainer.spatial_lr_scale
         lrs = {
-            "xyz": expon_lr(iteration, opt_params["position_lr_init"],
-                            opt_params["position_lr_final"],
+            "xyz": expon_lr(iteration,
+                            opt_params["position_lr_init"] * sls,
+                            opt_params["position_lr_final"] * sls,
                             lr_delay_mult=opt_params["position_lr_delay_mult"],
                             max_steps=opt_params["position_lr_max_steps"]),
             "deform": expon_lr(iteration, opt_params["deform_net_lr_init"],
@@ -183,7 +188,7 @@ def training(
                         (trainer.moments["gauss_m"], trainer.moments["gauss_v"]),
                         mesh.face_scaling, drng,
                         max_grad=opt_params["densify_grad_threshold"],
-                        min_opacity=0.005, extent=1.0,
+                        min_opacity=0.005, extent=trainer.spatial_lr_scale,
                         percent_dense=opt_params["percent_dense"],
                         max_screen_size=size_threshold,
                     )
@@ -219,8 +224,19 @@ def training(
             n_act = int(trainer.gauss_aux.n_active)
             tr_foot = int(losses["n_truncated"])
             tr_depth = int(losses["n_truncated_depth"])
-            grow_foot = (tr_foot > max(64, n_act // 1000)
-                         and trainer.max_tiles_per_gaussian < 49)
+            over_tolerance = tr_foot > max(64, n_act // 1000)
+            grow_foot = over_tolerance and trainer.max_tiles_per_gaussian < 49
+            if over_tolerance and not grow_foot and not _warned_cap_ceiling:
+                # cap already at its ceiling: persistent truncation can no
+                # longer be acted on — surface it once instead of only
+                # counting it in metrics.jsonl
+                _warned_cap_ceiling = True
+                print(f"[ITER {iteration}] WARNING: {tr_foot} splats keep "
+                      f"exceeding the footprint cap with "
+                      f"max_tiles_per_gaussian already at its ceiling "
+                      f"({trainer.max_tiles_per_gaussian}); their outer "
+                      f"tiles are clipped. The scene likely has pathological "
+                      f"giant splats (see metrics.jsonl n_truncated).")
             if grow_foot or tr_depth:
                 trainer.grow_raster_caps(footprint=grow_foot,
                                          depth=tr_depth > 0)

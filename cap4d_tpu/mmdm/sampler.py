@@ -34,9 +34,16 @@ from cap4d_tpu.mmdm.schedule import make_ddim_sampling_parameters, make_ddim_tim
 
 
 def _shard(x, mesh: Optional[Mesh]):
+    """Shard the leading (group-batch) axis over EVERY mesh axis: groups are
+    embarrassingly parallel, so on a 1-D ("dp",) mesh they split over ICI and
+    on a 2-D ("dcn", "dp") multi-host mesh (SURVEY §2.4: n_samples scales
+    over DCN, view-groups over ICI within a host) the same constraint splits
+    the n_samples·groups batch across hosts × chips with no cross-host
+    collectives in the UNet."""
     if mesh is None:
         return x
-    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P("dp")))
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(tuple(mesh.axis_names))))
 
 
 class StochasticIOSampler:

@@ -49,6 +49,7 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -327,71 +328,92 @@ def _bwd_kernel(starts_ref, lens_ref, pairs_ref, fwd_out_ref, g_ref,
         dma_out((n_done - 1) % 2, n_done - 1).wait()
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _gather_pairs_t(packed16, gperm, ginv, sorted_slot, budgets, sides2):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _gather_pairs_t(packed16, ext_ids, iperm, sorted_slot, counts):
     """(N,16) packed rows → (16, m+CHUNK) channel-major sorted pairs.
 
-    ``sorted_slot`` carries each sorted pair's ORIGINAL slot in the
-    level-concatenated (window, gaussian) layout; the slot decodes to a
-    level-sorted gaussian index with pure integer arithmetic (budgets are
-    static), so the forward is one composed row gather.
+    Pair slots live in three window-major regions (see the expansion in
+    :func:`rasterize_gaussians_pallas`): the base region addresses ALL N
+    gaussians in ORIGINAL order (no permutation — a per-gaussian permutation
+    gather of N-sized channel arrays lowers onto the TPU scalar core,
+    profiled at ~1.7 ms per array), and the two small ext regions address
+    the span-compacted subset ``ext_ids``. The slot therefore decodes to a
+    row of ``concat([packed16, packed16[ext_ids], packed16[ext_ids[:E2]]])``
+    with pure integer arithmetic, making the forward one row gather.
 
     Custom VJP: the plain gather's adjoint is a scatter-ADD over millions of
-    rows with duplicate indices, which XLA lowers onto the TPU scalar core
-    (measured 255 ms/step in round 2). Instead the backward un-sorts the
-    cotangent with a GATHER (inverse permutation from one 1-key sort of the
-    carried pair slots), reduces each level's window axis densely, and
-    un-permutes the per-gaussian rows with the precomputed inverse gaussian
-    permutation — no scatter anywhere."""
-    g_s = _decode_slots(sorted_slot, budgets, sides2)
-    ps = packed16[gperm[g_s]]                             # (m, 16) row gather
+    rows with duplicate indices (TPU scalar core, measured 255 ms/step in
+    round 2). Instead the backward un-sorts the cotangent with a GATHER
+    (inverse permutation from one 1-key sort of the carried pair slots),
+    reduces each region's window axis densely — the base region lands
+    directly in original order — and folds the ext contributions back with
+    two masked row gathers through ``iperm``. No scatter anywhere.
+
+    counts = (n, E1, E2, L0, L1, L2): region gaussian counts and
+    window-offset counts (static)."""
+    pe = _packed_ext(packed16, ext_ids, counts)
+    rows = pe[_decode_slots(sorted_slot, counts)]         # (m, 16) row gather
+    # barrier: without it XLA fuses the transpose INTO the gather, emitting
+    # a column-major gather (profiled 12 ms vs 2 ms gather + 1 ms relayout)
+    rows = jax.lax.optimization_barrier(rows)
     return jnp.concatenate([
-        jnp.transpose(ps),
+        jnp.transpose(rows),
         jnp.zeros((NCH, CHUNK), packed16.dtype),
     ], axis=1)
 
 
-def _decode_slots(slots, budgets, sides2):
-    """Original pair slot → index into the LEVEL-SORTED gaussian order.
-
-    Level ℓ contributes a (sides2[ℓ], budgets[ℓ]) window×gaussian block,
-    flattened window-major, so within a block  g = rel % budget."""
-    g_s = jnp.zeros_like(slots)
-    lo = 0
-    goff = 0
-    for b, s2 in zip(budgets, sides2):
-        if b == 0:
-            continue
-        hi = lo + b * s2
-        sel = (slots >= lo) & (slots < hi)
-        g_s = jnp.where(sel, goff + (slots - lo) % b, g_s)
-        lo = hi
-        goff += b
-    return g_s
+def _packed_ext(packed16, ext_ids, counts):
+    n, E1, E2, *_ = counts
+    parts = [packed16]
+    if E1:
+        ext1 = packed16[ext_ids]                          # (E1, 16) row gather
+        parts.append(ext1)
+        if E2:
+            parts.append(ext1[:E2])
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else packed16
 
 
-def _gather_pairs_t_fwd(packed16, gperm, ginv, sorted_slot, budgets, sides2):
-    out = _gather_pairs_t(packed16, gperm, ginv, sorted_slot, budgets, sides2)
-    return out, (gperm, ginv, sorted_slot)
+def _decode_slots(slots, counts):
+    """Pair slot → row of the extended packed array (region-wise % count)."""
+    n, E1, E2, L0, L1, L2 = counts
+    idx = slots % n                                       # base region
+    c0 = L0 * n
+    if E1:
+        idx = jnp.where(slots >= c0, n + (slots - c0) % E1, idx)
+    c1 = c0 + L1 * E1
+    if E2:
+        idx = jnp.where(slots >= c1, n + E1 + (slots - c1) % E2, idx)
+    return idx
 
 
-def _gather_pairs_t_bwd(budgets, sides2, res, g):
-    gperm, ginv, sorted_slot = res
+def _gather_pairs_t_fwd(packed16, ext_ids, iperm, sorted_slot, counts):
+    out = _gather_pairs_t(packed16, ext_ids, iperm, sorted_slot, counts)
+    return out, (iperm, sorted_slot)
+
+
+def _gather_pairs_t_bwd(counts, res, g):
+    iperm, sorted_slot = res
+    n, E1, E2, L0, L1, L2 = counts
     m = sorted_slot.shape[0]
     g_rows = jnp.transpose(g[:, :m])                      # (m, 16)
     _, inv = jax.lax.sort_key_val(
         sorted_slot, jax.lax.iota(jnp.int32, m))          # inv[p] = sorted pos
     g_unsorted = g_rows[inv]                              # row gather, no adds
-    parts = []
-    lo = 0
-    for b, s2 in zip(budgets, sides2):
-        if b == 0:
-            continue
-        hi = lo + b * s2
-        parts.append(g_unsorted[lo:hi].reshape(s2, b, NCH).sum(axis=0))
-        lo = hi
-    d_sorted = jnp.concatenate(parts, axis=0)             # (n, 16) level order
-    return d_sorted[ginv], None, None, None
+    g_unsorted = jax.lax.optimization_barrier(g_unsorted)
+    c0 = L0 * n
+    d = g_unsorted[:c0].reshape(L0, n, NCH).sum(axis=0)   # original order
+    if E1:
+        c1 = c0 + L1 * E1
+        dm = g_unsorted[c0:c1].reshape(L1, E1, NCH).sum(axis=0)
+        dm = jnp.concatenate([dm, jnp.zeros((1, NCH), dm.dtype)], axis=0)
+        sel1 = jnp.where(iperm < E1, iperm, E1)
+        d = d + dm[sel1]                                  # (N,16) row gather
+        if E2:
+            db = g_unsorted[c1:].reshape(L2, E2, NCH).sum(axis=0)
+            db = jnp.concatenate([db, jnp.zeros((1, NCH), db.dtype)], axis=0)
+            sel2 = jnp.where(iperm < E2, iperm, E2)
+            d = d + db[sel2]
+    return d, None, None, None
 
 
 _gather_pairs_t.defvjp(_gather_pairs_t_fwd, _gather_pairs_t_bwd)
@@ -550,16 +572,19 @@ def rasterize_gaussians_pallas(
         opacities, colors[0], colors[1], colors[2], depth,
     ], axis=-1)                                          # (N, 10)
 
-    # ---- budgeted multi-level pair expansion + ONE fused-key 1-key sort ----
-    # Every gaussian gets a window sized by its tile span: a 2×2 base window
-    # covers span ≤ 2 (the vast majority of densified splats), a side×side
-    # mid window (`max_tiles_per_gaussian`) covers the next `mid_budget`
-    # largest spans, and a big_side×big_side window the `big_budget` largest.
-    # Level membership is one gaussian-level sort + static rank slices (no
-    # top_k, no scatters). This cuts the pair count ~2.5× vs the uniform
-    # side² expansion round 2 used — and the pair sort carries ONE int32 key
-    # (tile << rank_bits | depth_rank) + ONE value (pair slot) instead of
-    # round 2's 2-key/4-array sort (profiled at ~45 ms/step at 3.5M pairs).
+    # ---- budgeted complement-window pair expansion + ONE 1-key sort ----
+    # Every gaussian emits a 2×2 BASE window in ORIGINAL order (covers
+    # span ≤ 2 — the vast majority of densified splats — with no
+    # per-gaussian permutation: N-sized permutation gathers lower onto the
+    # TPU scalar core). The `mid_budget` + `big_budget` largest-span
+    # gaussians, compacted by one N-sort, additionally emit the COMPLEMENT
+    # offsets of a side×side / big_side×big_side window (offset sets are
+    # disjoint, so base ∪ mid-ext ∪ big-ext tiles a full window). This cuts
+    # the pair count ~2.3× vs round 2's uniform side² expansion — and the
+    # pair sort carries ONE int32 key (tile << rank_bits | exact depth rank)
+    # + ONE value (the pair slot, which decodes to its gaussian by integer
+    # arithmetic) instead of round 2's 2-key/4-array sort (~45 ms/step at
+    # 3.5M pairs).
     tiles_x = (width + TILE - 1) // TILE
     tiles_y = (height + TILE - 1) // TILE
     n_tiles = tiles_x * tiles_y
@@ -571,62 +596,84 @@ def rasterize_gaussians_pallas(
 
     big_side = int(big_tiles_per_gaussian ** 0.5)
     base_side = min(2, side)
-    sides = [big_side, side, base_side]
-    b_big = min(big_budget, n) if big_side > side else 0
-    b_mid = min(mid_budget, n - b_big) if side > base_side else 0
-    b_base = n - b_big - b_mid
-    budgets = (b_big, b_mid, b_base)
-    sides2 = tuple(s * s for s in sides)
+    use_mid = side > base_side
+    use_big = big_side > max(side, base_side) and big_budget > 0
+    E2 = min(big_budget, n) if use_big else 0
+    E1 = min(E2 + (mid_budget if use_mid else 0), n)
+    if not use_mid:
+        E1 = E2
 
-    # level per gaussian (2=big .. 0=base); invalid → base (fewest slots)
-    span_eff = jnp.where(valid, span, 1)
-    level = ((span_eff > base_side).astype(jnp.int32)
-             + (span_eff > side).astype(jnp.int32))
-    iota_n = jax.lax.iota(jnp.int32, n)
-    _, gperm = jax.lax.sort_key_val(-level, iota_n)       # big levels first
-    _, ginv = jax.lax.sort_key_val(gperm, iota_n)
+    def offs(sd, inner):
+        return [(i, j) for i in range(sd) for j in range(sd)
+                if not (i < inner and j < inner)]
+
+    base_offs = offs(base_side, 0)
+    mid_offs = offs(side, base_side) if use_mid else []
+    big_offs = offs(big_side, side if use_mid else base_side) if use_big else []
+    L0, L1, L2 = len(base_offs), len(mid_offs), len(big_offs)
 
     # exact global depth order as an integer rank (no quantization): two
-    # small N-sorts; ties broken deterministically by gaussian index
+    # N-sorts; ties broken deterministically by gaussian index
+    iota_n = jax.lax.iota(jnp.int32, n)
     _, order = jax.lax.sort_key_val(depth, iota_n)
     _, rank = jax.lax.sort_key_val(order, iota_n)
     rank_bits = max((n - 1).bit_length(), 1)
     assert (n_tiles + 1) << rank_bits < 2 ** 31, \
         "fused sort key overflows int32 (tiles × gaussians too large)"
 
-    # per-gaussian channels in level-sorted order
-    sx0, sy0, sx1, sy1 = tx0[gperm], ty0[gperm], tx1[gperm], ty1[gperm]
-    s_valid, s_rank = valid[gperm], rank[gperm]
-    s_span = span[gperm]
+    # compact the largest-span gaussians: level desc, span desc, index asc
+    span_eff = jnp.where(valid, span, 1)
+    if E1:
+        level = ((span_eff > base_side).astype(jnp.int32)
+                 + ((span_eff > side).astype(jnp.int32) if use_mid else 0))
+        ckey = -(level * 4096 + jnp.minimum(span_eff, 4095))
+        _, perm = jax.lax.sort_key_val(ckey, iota_n)
+        _, iperm = jax.lax.sort_key_val(perm, iota_n)
+        ext_ids = perm[:E1]
+    else:
+        iperm = iota_n
+        ext_ids = iota_n[:0]
 
-    def window_keys(sd, lo, b):
-        """(sd², b) fused sort keys for level slice [lo, lo+b)."""
-        s2_ = sd * sd
-        w_i = jax.lax.broadcasted_iota(jnp.int32, (s2_, 1), 0)
-        cy = sy0[None, lo:lo + b] + w_i // sd
-        cx = sx0[None, lo:lo + b] + w_i % sd
-        ok = (s_valid[None, lo:lo + b]
+    # pack the per-gaussian window channels once so ext regions need ONE
+    # small row gather instead of per-array scalar-core gathers
+    win_pack = jnp.stack(
+        [tx0, ty0, tx1, ty1, rank, valid.astype(jnp.int32),
+         jnp.zeros_like(tx0), jnp.zeros_like(tx0)], axis=1)   # (N, 8)
+
+    def window_keys(off_list, x0, y0, x1, y1, rk, vld):
+        """(L, E) fused sort keys from (E,) window channel vectors."""
+        oa = jnp.asarray(np.array(off_list, np.int32))
+        cy = y0[None, :] + oa[:, 0:1]
+        cx = x0[None, :] + oa[:, 1:2]
+        ok = (vld[None, :]
               & (cx >= 0) & (cx < tiles_x) & (cy >= 0) & (cy < tiles_y)
-              & (cx <= sx1[None, lo:lo + b]) & (cy <= sy1[None, lo:lo + b]))
+              & (cx <= x1[None, :]) & (cy <= y1[None, :]))
         tile = cy * tiles_x + cx
-        return jnp.where(ok, (tile << rank_bits) | s_rank[None, lo:lo + b],
+        return jnp.where(ok, (tile << rank_bits) | rk[None, :],
                          n_tiles << rank_bits)
 
-    key_parts = []
-    lo = 0
-    for sd, b in zip(sides, budgets):
-        if b:
-            key_parts.append(window_keys(sd, lo, b).reshape(-1))
-        lo += b
-    key_all = jnp.concatenate(key_parts)
+    # base region: original order, original 1-D channel vectors — no gather
+    key_parts = [window_keys(base_offs, tx0, ty0, tx1, ty1,
+                             rank, valid).reshape(-1)]
+    if E1:
+        wp_ext = win_pack[ext_ids]                        # (E1, 8) row gather
+        ext_ch = tuple(wp_ext[:, i] for i in range(5)) + (wp_ext[:, 5] > 0,)
+        if L1:
+            key_parts.append(window_keys(mid_offs, *ext_ch).reshape(-1))
+        if E2:
+            key_parts.append(window_keys(
+                big_offs, *(c[:E2] for c in ext_ch)).reshape(-1))
+    key_all = jnp.concatenate(key_parts) if len(key_parts) > 1 else key_parts[0]
     m_pairs = key_all.shape[0]
     sorted_key, sorted_slot = jax.lax.sort_key_val(
         key_all, jax.lax.iota(jnp.int32, m_pairs))
 
     # a splat whose span exceeds its rank-assigned window is clipped
-    assigned = jnp.concatenate([
-        jnp.full((b,), sd, jnp.int32) for sd, b in zip(sides, budgets)])
-    n_truncated = jnp.sum(s_valid & (s_span > assigned))
+    in_big = (iperm < E2) if E2 else jnp.zeros_like(valid)
+    in_mid = ((iperm < E1) & ~in_big) if (E1 and use_mid) else jnp.zeros_like(valid)
+    assigned = jnp.where(in_big, big_side,
+                         jnp.where(in_mid, side, base_side))
+    n_truncated = jnp.sum(valid & (span > assigned))
 
     # ---- per-tile segment table + channel-major sorted pair array ----
     # n_tiles-many searchsorted queries INTO the big array (the cheap
@@ -642,8 +689,8 @@ def rasterize_gaussians_pallas(
     # be aligned to tiling (8)"), so the 10 used channels are padded to 16
     packed16 = jnp.concatenate(
         [packed, jnp.zeros((n, NCH - 10), packed.dtype)], axis=1)
-    pairs_t = _gather_pairs_t(packed16, gperm, ginv, sorted_slot,
-                              budgets, sides2)
+    counts = (n, E1, E2, L0, L1, L2)
+    pairs_t = _gather_pairs_t(packed16, ext_ids, iperm, sorted_slot, counts)
 
     composite = _make_composite(n_tiles, tiles_x, m_pairs + CHUNK, interpret)
     out = composite(pairs_t, starts, lens)                # (n_tiles, PX, 8)

@@ -15,9 +15,11 @@ multi-device CPU platform).
 
 from cap4d_tpu.parallel.mesh import (
     batch_sharding,
+    dcn_dp_mesh,
     dp_mesh,
     force_cpu_devices,
     replicated,
 )
 
-__all__ = ["batch_sharding", "dp_mesh", "force_cpu_devices", "replicated"]
+__all__ = ["batch_sharding", "dcn_dp_mesh", "dp_mesh", "force_cpu_devices",
+           "replicated"]

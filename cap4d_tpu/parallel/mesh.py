@@ -94,3 +94,23 @@ def batch_sharding(mesh: Mesh, axis: str = "dp") -> NamedSharding:
 def replicated(mesh: Mesh) -> NamedSharding:
     """Fully-replicated sharding (parameters, small scalars)."""
     return NamedSharding(mesh, P())
+
+
+def dcn_dp_mesh(dcn: int, dp: int,
+                devices: Optional[List[jax.Device]] = None) -> Mesh:
+    """2-D ``(dcn, dp)`` mesh for multi-host scaling (SURVEY §2.4).
+
+    The outer ``dcn`` axis maps across hosts (data-center network) and the
+    inner ``dp`` axis across the chips of each host (ICI): n_samples shards
+    over ``dcn``, view-groups over ``dp``. The sampler's group-batch axis is
+    sharded over BOTH axes jointly — groups never communicate inside the
+    UNet, so nothing rides DCN except the initial shard placement.
+
+    On a single host this still works (and is how tests exercise it): the
+    device list is simply reshaped to (dcn, dp).
+    """
+    if devices is None:
+        devices = jax.devices()
+    assert len(devices) >= dcn * dp, (
+        f"need {dcn * dp} devices for a ({dcn},{dp}) mesh, have {len(devices)}")
+    return Mesh(np.array(devices[:dcn * dp]).reshape(dcn, dp), ("dcn", "dp"))

@@ -127,4 +127,8 @@ def load_smpl_dataset(
         test_meshes=[],
         tgt_cameras=tgt_cams,
         tgt_meshes=tgt_meshes,
+        # reference hard-codes nerf_normalization radius 2.0 for the SMPL
+        # dataset (dataset_readers.py:608) vs 1.0 for CAP4D — scales the xyz
+        # lr and the densify percent_dense threshold
+        cameras_extent=2.0,
     )

@@ -76,7 +76,8 @@ def main():
         import cv2
 
         render = (np.asarray(img) * 255).astype(np.uint8)
-        cv2.imwrite(str(model_path / "final_render.png"), render[..., ::-1])
+        cv2.imwrite(str(model_path / f"final_render_{cam.timestep:03d}.png"),
+                    render[..., ::-1])
 
     result = {
         "subject": "tesla (1 real reference photo, 512px, synthetic sphere FLAME)",

@@ -80,3 +80,41 @@ def test_image_grid_logger(tmp_path):
 
     grid = cv2.imread(str(path))
     assert grid.shape == (2 * 18 - 2, 3 * 18 - 2, 3)
+
+
+def test_shipped_mmdm_training_config_drives_the_loop(tmp_path):
+    """configs/mmdm/cap4d_mmdm_final.yaml (the reference-schema training
+    config mirror) must parse through MMDM.from_config and run the synthetic
+    training loop. The model is downscaled (model_channels, accumulation) for
+    CPU test time — every other key comes verbatim from the shipped file."""
+    import yaml
+
+    repo = Path(__file__).resolve().parents[1]
+    cfg = yaml.safe_load(open(repo / "configs" / "mmdm" / "cap4d_mmdm_final.yaml"))
+    # reference-schema sanity: the keys the reference trainer consumes
+    assert cfg["model"]["target"].endswith("MMLDM")
+    up = cfg["model"]["params"]["unet_config"]["params"]
+    assert up["condition_channels"] == 50 and up["temporal_mode"] == "3d"
+    assert cfg["virtual_batch_size"] == 64 and cfg["n_steps"] == 100000
+
+    # downscale ONLY for test wall-clock; schema untouched
+    up["model_channels"] = 32
+    up["num_head_channels"] = 16
+    up["image_size"] = 8
+    cfg["model"]["params"]["image_size"] = 8
+    cfg["model"]["params"]["first_stage_config"]["params"]["ddconfig"]["resolution"] = 64
+    cfg.update(virtual_batch_size=1, n_steps=2, save_every_n_steps=2)
+
+    root = tmp_path
+    flame_dir = make_asset_dir(root)
+    cfg_path = tmp_path / "shipped_small.yaml"
+    yaml.safe_dump(cfg, open(cfg_path, "w"))
+
+    from cap4d_tpu.mmdm.train import train_mmdm
+
+    out = tmp_path / "out"
+    state = train_mmdm(cfg_path, out, flame_asset_dir=flame_dir,
+                       log_every=1, dtype=jnp.float32)
+    assert int(state.step) == 2
+    lines = [json.loads(l) for l in open(out / "train_metrics.jsonl")]
+    assert np.isfinite([l["loss"] for l in lines]).all()

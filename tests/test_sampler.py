@@ -160,3 +160,30 @@ def test_sampler_checkpoint_resume(tmp_path):
     resumed = np.asarray(StochasticIOSampler(model).sample(
         rng=rng, checkpoint_dir=str(ck), checkpoint_every=1, **kwargs))
     np.testing.assert_allclose(resumed, full, atol=1e-6)
+
+
+def test_sampler_on_dcn_dp_mesh_matches_simulation():
+    """Stochastic-I/O sampling over a 2-D (dcn=2, dp=4) multi-host-shaped
+    mesh (SURVEY §2.4: n_samples over DCN, view-groups over ICI) must equal
+    the straight-line single-device simulation exactly — the group batch
+    shards jointly over both axes and no cross-device math changes."""
+    from cap4d_tpu.parallel import dcn_dp_mesh
+
+    model = _fake_model()
+    n_ref, n_gen, V, R, S, cfg, seed = 4, 16, 8, 4, 4, 2.0, 11
+    ref_cond = _banks(n_ref, 1)
+    gen_cond = _banks(n_gen, 2)
+    gen_cond["ref_mask"] *= 0
+
+    mesh = dcn_dp_mesh(2, 4)
+    assert mesh.devices.shape == (2, 4) and mesh.axis_names == ("dcn", "dp")
+
+    sampler = StochasticIOSampler(model, mesh=mesh)
+    rng = jax.random.PRNGKey(seed)
+    x0 = np.asarray(jax.random.normal(rng, (n_gen, LAT, LAT, 4), jnp.float32))
+    out = sampler.sample(
+        S=S, ref_cond=ref_cond, gen_cond=gen_cond, V=V, R_max=R,
+        cfg_scale=cfg, seed=seed, rng=rng, verbose=False,
+    )
+    expected = _reference_sim(model, ref_cond, gen_cond, S, V, R, cfg, seed, x0)
+    np.testing.assert_allclose(np.asarray(out), expected, atol=5e-4)
