@@ -41,6 +41,7 @@ def training(
     seed: int = 0,
     variant: str = "flame",
     smpl_asset_dir: str | Path = "data/assets/smpl",
+    n_max_val_images: int = 10,
 ) -> AvatarTrainer:
     from cap4d_tpu.mmdm.model import _coerce_numbers
 
@@ -61,7 +62,8 @@ def training(
 
         scene = load_smpl_dataset(source_paths)
     else:
-        scene = load_cap4d_dataset(source_paths)
+        scene = load_cap4d_dataset(source_paths,
+                                   n_max_val_images=n_max_val_images)
     dump_cameras_json(scene.train_cameras, model_path / "cameras.json")
 
     lpips = load_lpips(lpips_weights)

@@ -82,9 +82,16 @@ def dot_product_attention(
     if backend == "einsum":
         return _einsum_attention(q, k, v)
     if backend == "flash":
-        # pallas kernel wants (B, H, S, D) and S a multiple of the block size
+        # pallas kernels want (B, H, S, D) and S a multiple of the block size
+        from cap4d_tpu.ops import flash_attention as ffa
+
         qt, kt, vt = (jnp.swapaxes(x, 1, 2) for x in (q, k, v))
         seq = qt.shape[2]
+        if ffa.supported(qt.shape, qt.dtype):
+            # d=64-specialized forward kernel (VMEM-resident K/V, online
+            # softmax, ~1.5× the generic kernel on the MMDM shapes);
+            # training still gets full gradients via its custom VJP
+            return jnp.swapaxes(ffa.flash_attention_fwdopt(qt, kt, vt), 1, 2)
         if seq > 1024 and seq % 512 != 0:
             return _einsum_attention(q, k, v)
         out = _flash_fn()(qt, kt, vt)

@@ -352,6 +352,10 @@ def _gather_pairs_t(packed16, ext_ids, iperm, sorted_slot, counts):
     counts = (n, E1, E2, L0, L1, L2): region gaussian counts and
     window-offset counts (static)."""
     pe = _packed_ext(packed16, ext_ids, counts)
+    # barrier: materialize the concat-extended pack — XLA otherwise fuses
+    # the concat INTO the gather (re-selecting operands per row; profiled
+    # 6.4 ms vs ~2 ms for the same gather from a materialized array)
+    pe = jax.lax.optimization_barrier(pe)
     rows = pe[_decode_slots(sorted_slot, counts)]         # (m, 16) row gather
     # barrier: without it XLA fuses the transpose INTO the gather, emitting
     # a column-major gather (profiled 12 ms vs 2 ms gather + 1 ms relayout)

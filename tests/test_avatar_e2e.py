@@ -175,3 +175,59 @@ def test_gaussian_ply_roundtrip(fitted, tmp_path):
     np.testing.assert_allclose(loaded["xyz"], np.asarray(gp.xyz)[active], atol=1e-6)
     np.testing.assert_allclose(loaded["rotation"], np.asarray(gp.rotation)[active], atol=1e-6)
     np.testing.assert_array_equal(loaded["binding"], np.asarray(trainer.gauss_aux.binding)[active])
+
+
+def test_lpips_enabled_fit_runs_with_ramp(tmp_path):
+    """A fit with LPIPS ACTIVE end-to-end (random VGG/linear weights through
+    the real converter): the λ ramp must reach lambda_lpips_end, the lpips
+    loss term must appear finite in metrics.jsonl, and the photometric
+    weight must take the reference's (1−λ) form — the only training path
+    round 2 never executed (trainer.py λ-ramp wiring; reference
+    gaussianavatars/train.py:152-165)."""
+    import torch
+
+    from cap4d_tpu.avatar.lpips import convert_torch_lpips, save_lpips_npz
+    from tests.test_lpips import _LIN_CH, _make_torch_vgg
+
+    flame_dir = make_asset_dir(tmp_path)
+    data_dir = _make_stage1_output(tmp_path, flame_dir)
+    model_path = tmp_path / "avatar_lpips"
+
+    vgg = _make_torch_vgg(seed=0)
+    torch.manual_seed(1)
+    lins = [torch.nn.Conv2d(nc, 1, 1, bias=False) for nc in _LIN_CH]
+    for lin in lins:
+        with torch.no_grad():
+            lin.weight.abs_()
+    vgg_sd = {f"features.{i}.{leaf}": p.detach().numpy()
+              for i, m in enumerate(vgg) if isinstance(m, torch.nn.Conv2d)
+              for leaf, p in (("weight", m.weight), ("bias", m.bias))}
+    lin_sd = {f"lin{k}.model.1.weight": lin.weight.detach().numpy()
+              for k, lin in enumerate(lins)}
+    params = convert_torch_lpips(vgg_sd, lin_sd)
+    wpath = tmp_path / "lpips_vgg.npz"
+    save_lpips_npz(params, wpath)
+
+    opt = dict(OPT_PARAMS)
+    opt.update(iterations=6, lpips_linear_start=1, lpips_linear_end=4,
+               lambda_lpips_end=0.75, densify_from_iter=100,
+               densify_until_iter=0)
+
+    from cap4d_tpu.avatar.train import training
+
+    trainer = training(
+        source_paths=[str(data_dir)],
+        model_path=model_path,
+        model_params=MODEL_PARAMS,
+        opt_params=opt,
+        testing_iterations=[],
+        checkpoint_iterations=[],
+        flame_asset_dir=flame_dir,
+        lpips_weights=str(wpath),
+    )
+    assert trainer.lpips.available
+    lines = [json.loads(l) for l in open(model_path / "metrics.jsonl")]
+    with_lpips = [l for l in lines if "lpips" in l]
+    assert with_lpips, "lpips loss term never logged"
+    assert np.isfinite([l["lpips"] for l in with_lpips]).all()
+    assert np.isfinite([l["loss"] for l in lines if "loss" in l]).all()

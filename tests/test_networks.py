@@ -192,3 +192,26 @@ def test_flash_attention_matches_einsum_on_tpu():
     f = np.asarray(dot_product_attention(q, k, v, backend="flash"))
     e = np.asarray(dot_product_attention(q, k, v, backend="einsum"))
     np.testing.assert_allclose(f, e, atol=2e-3)
+
+
+def test_fwdopt_flash_kernel_matches_einsum_interpret():
+    """d=64-specialized forward flash kernel (interpret mode) vs exact
+    einsum attention, on the MMDM's 3d-mode shape class."""
+    import jax
+
+    from cap4d_tpu.ops.flash_attention import _flash_fwd
+
+    rng = np.random.default_rng(5)
+    bh, s, d = 3, 1024, 64
+    q, k, v = (rng.normal(size=(bh, s, d)).astype(np.float32)
+               for _ in range(3))
+
+    out = np.asarray(_flash_fwd(jnp.asarray(q), jnp.asarray(k),
+                                jnp.asarray(v), block_q=256, block_k=256,
+                                interpret=True))
+    scale = d ** -0.5
+    sim = np.einsum("bid,bjd->bij", q, k) * scale
+    attn = np.exp(sim - sim.max(-1, keepdims=True))
+    attn /= attn.sum(-1, keepdims=True)
+    ref = np.einsum("bij,bjd->bid", attn, v)
+    np.testing.assert_allclose(out, ref, atol=2e-5)

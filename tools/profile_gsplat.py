@@ -35,7 +35,7 @@ def agg_trace(trace_dir, top=28):
     if not files:
         print("no xplane found", file=sys.stderr)
         return
-    pd = jax.profiler.ProfileData.from_file(files[-1])
+    pd = jax.profiler.ProfileData.from_file(max(files, key=os.path.getmtime))
     per_op = defaultdict(float)
     for plane in pd.planes:
         if "TPU" not in plane.name:
