@@ -100,9 +100,33 @@ def render_sequence(
     if n_max_frames:
         cams = cams[:n_max_frames]
 
+    total_truncated = 0
+    warned_truncation = False
     for i, cam in enumerate(cams):
         out = trainer.render_camera(cam, cam.timestep, compute_depth=save_depth,
                                     clip=True)
+        # inference-path truncation guard (mirrors the train loop,
+        # train.py:219-244): a deep tile on the XLA fallback or a splat
+        # beyond the footprint window would otherwise be clipped silently
+        tr = int(out["n_truncated"]) + int(out.get("n_truncated_depth", 0))
+        if tr:
+            total_truncated += tr
+            n_act = int(trainer.gauss_aux.n_active)
+            if tr > max(64, n_act // 1000) and trainer.max_tiles_per_gaussian < 49:
+                trainer.grow_raster_caps(
+                    footprint=int(out["n_truncated"]) > 0,
+                    depth=int(out.get("n_truncated_depth", 0)) > 0)
+                print(f"[frame {i}] {tr} splats truncated — raster caps "
+                      f"raised (max_tiles_per_gaussian="
+                      f"{trainer.max_tiles_per_gaussian}, max_per_tile="
+                      f"{trainer.max_per_tile}), re-rendering")
+                out = trainer.render_camera(cam, cam.timestep,
+                                            compute_depth=save_depth, clip=True)
+            elif not warned_truncation:
+                warned_truncation = True
+                print(f"[frame {i}] WARNING: {tr} splats clipped by raster "
+                      f"caps (within tolerance or cap at ceiling); totals "
+                      f"reported at the end")
         img = np.clip(np.asarray(out["render"]), 0, 1)
         cv2.imwrite(str(frame_dir / f"{i:05d}.png"),
                     (img[..., ::-1] * 255).astype(np.uint8))
@@ -129,6 +153,9 @@ def render_sequence(
         if (i + 1) % 10 == 0:
             print(f"rendered {i + 1}/{len(cams)} frames")
 
+    if total_truncated:
+        print(f"WARNING: {total_truncated} splat-truncation events across "
+              f"{len(cams)} frames (see n_truncated in the rasterizer docs)")
     if writer is not None:
         writer.save_ply(output_path / "exported_animation.ply")
         print(f"Wrote {output_path / 'exported_animation.ply'}")
@@ -154,6 +181,10 @@ def render_static(
     trainer = load_trained_avatar(Path(model_path), flame_asset_dir, scene)
     cam = scene.tgt_cameras[timestep]
     out = trainer.render_camera(cam, cam.timestep, clip=True)
+    tr = int(out["n_truncated"]) + int(out.get("n_truncated_depth", 0))
+    if tr:
+        print(f"WARNING: {tr} splats clipped by raster caps in this render "
+              f"(n_truncated) — consider a higher max_tiles_per_gaussian")
     img = np.clip(np.asarray(out["render"]), 0, 1)
     path = output_path / f"static_{timestep:05d}.png"
     cv2.imwrite(str(path), (img[..., ::-1] * 255).astype(np.uint8))

@@ -392,16 +392,20 @@ def _decode_slots(slots, counts):
 
 def _gather_pairs_t_fwd(packed16, ext_ids, iperm, sorted_slot, counts):
     out = _gather_pairs_t(packed16, ext_ids, iperm, sorted_slot, counts)
-    return out, (iperm, sorted_slot)
+    # inverse pair permutation computed HERE, next to the main pair sort:
+    # the same sort issued from the backward segment lowered onto the
+    # scalar core (4 async S(1) slices, ~58 ms/step in the round-3 trace)
+    m = sorted_slot.shape[0]
+    _, inv = jax.lax.sort_key_val(
+        sorted_slot, jax.lax.iota(jnp.int32, m))          # inv[p] = sorted pos
+    return out, (iperm, inv)
 
 
 def _gather_pairs_t_bwd(counts, res, g):
-    iperm, sorted_slot = res
+    iperm, inv = res
     n, E1, E2, L0, L1, L2 = counts
-    m = sorted_slot.shape[0]
+    m = inv.shape[0]
     g_rows = jnp.transpose(g[:, :m])                      # (m, 16)
-    _, inv = jax.lax.sort_key_val(
-        sorted_slot, jax.lax.iota(jnp.int32, m))          # inv[p] = sorted pos
     g_unsorted = g_rows[inv]                              # row gather, no adds
     g_unsorted = jax.lax.optimization_barrier(g_unsorted)
     c0 = L0 * n

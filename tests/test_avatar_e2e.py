@@ -231,3 +231,40 @@ def test_lpips_enabled_fit_runs_with_ramp(tmp_path):
     assert with_lpips, "lpips loss term never logged"
     assert np.isfinite([l["lpips"] for l in with_lpips]).all()
     assert np.isfinite([l["loss"] for l in lines if "loss" in l]).all()
+
+
+def test_animate_surfaces_truncation(fitted, monkeypatch, capsys):
+    """Inference-path truncation is no longer silent: a scene whose splats
+    overflow the raster caps must print a warning or auto-raise the caps
+    during render_sequence (mirrors train.py:219-244; round-2 VERDICT
+    'inference-path truncation is unmonitored')."""
+    import jax.numpy as jnp
+
+    import cap4d_tpu.avatar.animate as anim
+
+    root, flame_dir, data_dir, model_path, trainer = fitted
+    ref_dir = make_reference_dir(root, resolution=RES, n_timesteps=2, seed=21)
+    out_dir = root / "anim_trunc"
+
+    # inflate a handful of splats and clamp the caps so the fallback
+    # rasterizer truncates their footprints
+    import dataclasses
+
+    gp = trainer.gauss_params
+    scaling = np.asarray(gp.scaling).copy()
+    scaling[:80] = 0.0  # log-scale 0 → world scale 1.0 ≈ screen-filling
+    trainer.gauss_params = dataclasses.replace(
+        gp, scaling=jnp.asarray(scaling))
+    trainer.max_tiles_per_gaussian = 1
+    trainer.max_per_tile = 8
+    if trainer._render_fns:
+        trainer._render_fns.clear()
+
+    monkeypatch.setattr(anim, "load_trained_avatar",
+                        lambda *a, **k: trainer)
+    anim.render_sequence(
+        model_path, ref_dir / "fit.npz", out_dir,
+        flame_asset_dir=flame_dir, export_animation=False, n_max_frames=1,
+    )
+    printed = capsys.readouterr().out
+    assert ("truncat" in printed) or ("raster caps raised" in printed), printed
