@@ -218,37 +218,45 @@ def face_frame_pack(verts: jnp.ndarray, faces: jnp.ndarray) -> jnp.ndarray:
     return jnp.transpose(rows)                            # (F, 16)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def gather_pack_rows(pack, binding, n_faces):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def gather_pack_rows(pack, binding, active, counter, n_faces):
     """``pack[binding]``: (F, P) face rows → (C, P) per-gaussian rows.
 
     Custom VJP: the plain gather's adjoint is a scatter-add over C≈350k
     duplicate face indices, which XLA lowers onto the TPU scalar core
     (profiled ~4 ms per call plus a ~25 ms SMEM index-staging copy per train
-    step). The backward instead sorts the cotangent rows by binding (one
-    int sort + one row gather), takes a running cumsum, and reads each
-    face's segment sum as a difference of two boundary rows — all
-    lane-vectorized ops."""
+    step). The backward instead sorts the cotangent rows by binding with
+    INACTIVE slots keyed last (one int sort + one row gather), takes a
+    running cumsum, and reads each face's segment sum as a difference of two
+    boundary rows — all lane-vectorized. The boundaries come straight from
+    the exclusive cumsum of ``binding_counter`` (the per-face active count
+    the densifier maintains), so no searchsorted is needed (a 105k-query
+    searchsorted lowered onto the scalar core at ~13 ms/call).
+
+    Inactive slots' cotangents are dropped — exact, because every consumer
+    of inactive world-gaussian quantities masks them (rasterizer ``mask``,
+    vis-masked regularizers, active-masked deformation loss)."""
     return pack[binding]
 
 
-def _gather_pack_rows_fwd(pack, binding, n_faces):
-    return pack[binding], binding
+def _gather_pack_rows_fwd(pack, binding, active, counter, n_faces):
+    return pack[binding], (binding, active, counter)
 
 
-def _gather_pack_rows_bwd(n_faces, binding, g):
+def _gather_pack_rows_bwd(n_faces, res, g):
+    binding, active, counter = res
     C = binding.shape[0]
-    sb, perm = jax.lax.sort_key_val(binding, jax.lax.iota(jnp.int32, C))
+    skey = jnp.where(active, binding, n_faces)          # inactive → tail
+    _, perm = jax.lax.sort_key_val(skey, jax.lax.iota(jnp.int32, C))
     gs = g[perm]                                        # (C, P) row gather
     gs = jax.lax.optimization_barrier(gs)
     cs = jnp.cumsum(gs.astype(jnp.float32), axis=0)
     cs0 = jnp.concatenate(
         [jnp.zeros((1, gs.shape[1]), cs.dtype), cs], axis=0)
-    bounds = jnp.searchsorted(
-        sb, jnp.arange(n_faces + 1, dtype=jnp.int32), side="left"
-    ).astype(jnp.int32)
+    bounds = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counter, dtype=jnp.int32)])
     d = cs0[bounds[1:]] - cs0[bounds[:-1]]              # (F, P) row gathers
-    return d.astype(g.dtype), None
+    return d.astype(g.dtype), None, None, None
 
 
 gather_pack_rows.defvjp(_gather_pack_rows_fwd, _gather_pack_rows_bwd)

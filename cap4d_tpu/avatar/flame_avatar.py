@@ -259,10 +259,18 @@ def relative_deformation_loss(xyz_world: jnp.ndarray, xyz_neutral: jnp.ndarray) 
     return jnp.mean(jnp.sum(((xyz_neutral - xyz_world) / STD_DEFORM) ** 2, axis=1))
 
 
-def relative_deformation_loss_ch(w_ch, n_ch) -> jnp.ndarray:
-    """Channel-tuple variant (3 × (C,) world + neutral positions)."""
+def relative_deformation_loss_ch(w_ch, n_ch, active=None,
+                                 n_active=None) -> jnp.ndarray:
+    """Channel-tuple variant (3 × (C,) world + neutral positions).
+
+    Reference (cap4d_gaussian_model.py:365-369) averages over the dense
+    gaussian set — i.e. exactly the ACTIVE set; the static-capacity store
+    must mask out inactive slots or their (stale) positions pollute both
+    the mean and the gradients."""
     d = sum(((n - w) / STD_DEFORM) ** 2 for w, n in zip(w_ch, n_ch))
-    return jnp.mean(d)
+    if active is None:
+        return jnp.mean(d)
+    return jnp.sum(d * active) / jnp.clip(n_active, 1)
 
 
 def relative_rotation_loss(neutral_orient: jnp.ndarray, orient: jnp.ndarray) -> jnp.ndarray:

@@ -142,7 +142,8 @@ def world_gaussians_pack(
     Returns channel tuples ready for the rasterizer's channel entry."""
     from cap4d_tpu.avatar.binding import gather_pack_rows, unpack_face_frame
 
-    rows = gather_pack_rows(face_pack, aux.binding, face_pack.shape[0])
+    rows = gather_pack_rows(face_pack, aux.binding, aux.active,
+                            aux.binding_counter, face_pack.shape[0])
     # barrier: keeps the row gather row-major instead of a fused
     # column-major gather (see ops/gsplat_pallas._gather_pairs_t)
     g = jnp.transpose(jax.lax.optimization_barrier(rows))  # (16, C)

@@ -408,8 +408,9 @@ class AvatarTrainer:
             if opt["lambda_relative_deform"] != 0:
                 neutral = G.world_gaussians_pack(gp, aux, mesh.neutral_pack)
                 losses["deform"] = relative_deformation_loss_ch(
-                    world["means3d_ch"],
-                    neutral["means3d_ch"]) * opt["lambda_relative_deform"]
+                    world["means3d_ch"], neutral["means3d_ch"],
+                    active=aux.active,
+                    n_active=aux.n_active) * opt["lambda_relative_deform"]
             if opt["lambda_relative_rot"] != 0:
                 losses["rot"] = relative_rotation_loss_pack(
                     mesh.neutral_pack, mesh.face_pack) * opt["lambda_relative_rot"]

@@ -33,9 +33,9 @@ TPU-native design:
     dynamic offsets (the partial-tail overlap into the next tile's segment
     writes zeros and is overwritten by that tile's own step — grid steps
     drain their output DMAs before finishing, so the writes are ordered);
-    the caller's gather (packed[sorted_gauss]) turns them into per-gaussian
-    grads via JAX's scatter-add adjoint, so densification's means2d grad
-    statistics keep working unchanged.
+    the caller's custom-VJP unsort gather + dense per-region window
+    reductions turn them into per-gaussian grads with no scatter anywhere,
+    so densification's means2d grad statistics keep working unchanged.
 
 Reference semantics matched: alpha threshold 1/255, alpha cap 0.999,
 front-to-back over depth-sorted pairs, white-background compositing outside
@@ -111,11 +111,11 @@ def _lane():
     return jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
 
 
-def _fwd_kernel(starts_ref, lens_ref, pairs_ref, out_ref, buf, sem, *, tiles_x):
+def _fwd_kernel(bounds_ref, pairs_ref, out_ref, buf, sem, *, tiles_x):
     PX = TILE * TILE
     t = pl.program_id(0)
-    s0 = starts_ref[t]
-    ln = lens_ref[t]
+    s0 = bounds_ref[t]
+    ln = bounds_ref[t + 1] - s0
     # Mosaic requires minor-dim DMA offsets provably divisible by the lane
     # tiling (128): slice at the aligned-down chunk base and mask the
     # out-of-segment columns on both ends instead
@@ -179,7 +179,7 @@ def _fwd_kernel(starts_ref, lens_ref, pairs_ref, out_ref, buf, sem, *, tiles_x):
         [rgb, wsum, dsum, logT, jnp.zeros((PX, 2), jnp.float32)], axis=1)
 
 
-def _bwd_kernel(starts_ref, lens_ref, pairs_ref, fwd_out_ref, g_ref,
+def _bwd_kernel(bounds_ref, pairs_ref, fwd_out_ref, g_ref,
                 dzero_ref, dpairs_ref, buf, gbuf, rbuf, sem, osem, rsem,
                 *, tiles_x):
     """Replays the forward front-to-back, emitting per-pair gradient columns.
@@ -192,8 +192,8 @@ def _bwd_kernel(starts_ref, lens_ref, pairs_ref, fwd_out_ref, g_ref,
     del dzero_ref
     PX = TILE * TILE
     t = pl.program_id(0)
-    s0 = starts_ref[t]
-    ln = lens_ref[t]
+    s0 = bounds_ref[t]
+    ln = bounds_ref[t + 1] - s0
     c0 = s0 // CHUNK
     off0 = s0 - c0 * CHUNK
     nck = jnp.where(ln > 0, (off0 + ln + CHUNK - 1) // CHUNK, 0)
@@ -352,11 +352,12 @@ def _gather_pairs_t(packed16, ext_ids, iperm, sorted_slot, counts):
     counts = (n, E1, E2, L0, L1, L2): region gaussian counts and
     window-offset counts (static)."""
     pe = _packed_ext(packed16, ext_ids, counts)
-    # barrier: materialize the concat-extended pack — XLA otherwise fuses
-    # the concat INTO the gather (re-selecting operands per row; profiled
-    # 6.4 ms vs ~2 ms for the same gather from a materialized array)
-    pe = jax.lax.optimization_barrier(pe)
-    rows = pe[_decode_slots(sorted_slot, counts)]         # (m, 16) row gather
+    # barriers: materialize BOTH the concat-extended pack and the decoded
+    # indices — XLA otherwise fuses concat/decode INTO the gather, whose
+    # fused form runs 3× slower (6.4 ms vs ~2 ms at 1.6M rows)
+    pe, idx = jax.lax.optimization_barrier(
+        (pe, _decode_slots(sorted_slot, counts)))
+    rows = pe[idx]                                        # (m, 16) row gather
     # barrier: without it XLA fuses the transpose INTO the gather, emitting
     # a column-major gather (profiled 12 ms vs 2 ms gather + 1 ms relayout)
     rows = jax.lax.optimization_barrier(rows)
@@ -433,7 +434,7 @@ def _make_composite(n_tiles: int, tiles_x: int, m_padded: int, interpret: bool):
     array; per-tile segments addressed by prefetched starts/lens."""
     PX = TILE * TILE
     grid_fwd = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, PX, 8), lambda t, *_: (t, 0, 0),
@@ -451,7 +452,7 @@ def _make_composite(n_tiles: int, tiles_x: int, m_padded: int, interpret: bool):
     )
 
     grid_bwd = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),          # pairs (10, m_padded)
@@ -475,23 +476,23 @@ def _make_composite(n_tiles: int, tiles_x: int, m_padded: int, interpret: bool):
         functools.partial(_bwd_kernel, tiles_x=tiles_x),
         grid_spec=grid_bwd,
         out_shape=jax.ShapeDtypeStruct((NCH, m_padded), jnp.float32),
-        input_output_aliases={5: 0},  # zeros input (after 2 prefetch args) → dpairs
+        input_output_aliases={4: 0},  # zeros input (after the prefetch arg) → dpairs
         interpret=interpret,
     )
 
     @jax.custom_vjp
-    def composite(pairs_t, starts, lens):
-        return fwd_call(starts, lens, pairs_t)
+    def composite(pairs_t, bounds):
+        return fwd_call(bounds, pairs_t)
 
-    def composite_fwd(pairs_t, starts, lens):
-        out = composite(pairs_t, starts, lens)
-        return out, (pairs_t, starts, lens, out)
+    def composite_fwd(pairs_t, bounds):
+        out = composite(pairs_t, bounds)
+        return out, (pairs_t, bounds, out)
 
     def composite_bwd(res, g):
-        pairs_t, starts, lens, out = res
+        pairs_t, bounds, out = res
         dzero = jnp.zeros_like(pairs_t)
-        dpairs = bwd_call(starts, lens, pairs_t, out, g, dzero)
-        return dpairs, None, None
+        dpairs = bwd_call(bounds, pairs_t, out, g, dzero)
+        return dpairs, None
 
     composite.defvjp(composite_fwd, composite_bwd)
     return composite
@@ -690,7 +691,6 @@ def rasterize_gaussians_pallas(
     tids = jnp.arange(n_tiles + 1, dtype=jnp.int32)
     bounds = jnp.searchsorted(sorted_key, tids << rank_bits,
                               side="left").astype(jnp.int32)
-    starts, lens = bounds[:-1], bounds[1:] - bounds[:-1]
 
     # NCH=16 channel rows: dynamic-offset DMA slices must cover a
     # sublane-aligned row count (Mosaic: "slice shape along dimension 0 must
@@ -701,7 +701,7 @@ def rasterize_gaussians_pallas(
     pairs_t = _gather_pairs_t(packed16, ext_ids, iperm, sorted_slot, counts)
 
     composite = _make_composite(n_tiles, tiles_x, m_pairs + CHUNK, interpret)
-    out = composite(pairs_t, starts, lens)                # (n_tiles, PX, 8)
+    out = composite(pairs_t, bounds)                      # (n_tiles, PX, 8)
 
     T = jnp.exp(out[..., 5])                              # (n_tiles, PX)
     rgb_tiles = out[..., 0:3] + T[..., None] * background[None, None]
