@@ -60,19 +60,23 @@ def resolve_raster_backend(backend: str = "auto") -> str:
 
 def make_raster(backend: str, width: int, height: int, sh_degree: int,
                 max_per_tile: int, max_tiles_per_gaussian: int,
-                render_depth: bool = False, far: Optional[float] = None):
+                render_depth: bool = False, far: Optional[float] = None,
+                max_valid_pairs: Optional[int] = None):
     """Partial rasterizer for one static signature.
 
     The pallas path has no per-tile compositing cap (max_per_tile is ignored:
     compositing is exact at any overlap depth); only the side² tile-footprint
-    cap max_tiles_per_gaussian applies to both."""
+    cap max_tiles_per_gaussian applies to both. max_valid_pairs bounds the
+    pallas path's materialized sorted-pair prefix (overflow counted in
+    n_truncated_depth)."""
     kw = dict(width=width, height=height, sh_degree=sh_degree,
               max_tiles_per_gaussian=max_tiles_per_gaussian,
               render_depth=render_depth)
     if far is not None:
         kw["far"] = far
     if resolve_raster_backend(backend) == "pallas":
-        return partial(rasterize_gaussians_pallas, **kw)
+        return partial(rasterize_gaussians_pallas,
+                       max_valid_pairs=max_valid_pairs, **kw)
     return partial(rasterize_gaussians, max_per_tile=max_per_tile,
                    tile_chunk=64, **kw)
 
@@ -122,7 +126,16 @@ class AvatarTrainer:
     raster_backend: str = "auto"
     max_per_tile: int = 192
     max_tiles_per_gaussian: int = 9
+    # pallas valid-prefix pair cap; 0 = auto (3x gaussian capacity). Doubled
+    # by grow_raster_caps(depth=True) when n_truncated_depth fires.
+    max_valid_pairs: int = 0
     spatial_lr_scale: float = 1.0   # reference cameras_extent (scene.py:125)
+
+    def _auto_valid_pairs(self) -> int:
+        cap = self.max_valid_pairs
+        if not cap:
+            cap = 3 * int(self.gauss_params.xyz.shape[0])
+        return cap
 
     def grow_raster_caps(self, footprint: bool, depth: bool) -> None:
         """Raise the truncating cap(s); caller must rebuild step fns."""
@@ -131,6 +144,7 @@ class AvatarTrainer:
             self.max_tiles_per_gaussian = side * side
         if depth:
             self.max_per_tile = self.max_per_tile * 2
+            self.max_valid_pairs = self._auto_valid_pairs() * 2
         if self._render_fns:
             self._render_fns.clear()
 
@@ -355,6 +369,7 @@ class AvatarTrainer:
         raster = make_raster(
             self.raster_backend, width, height, sh_degree,
             self.max_per_tile, self.max_tiles_per_gaussian,
+            max_valid_pairs=self._auto_valid_pairs(),
         )
 
         def loss_fn(trainable, aux, bank, cam, gt_image, mask, t, lambda_lpips):
@@ -517,7 +532,8 @@ class AvatarTrainer:
             raster = make_raster(
                 self.raster_backend, cam.width, cam.height, sh_deg,
                 self.max_per_tile, self.max_tiles_per_gaussian,
-                render_depth=compute_depth)
+                render_depth=compute_depth,
+                max_valid_pairs=self._auto_valid_pairs())
 
             backend = resolve_raster_backend(self.raster_backend)
 

@@ -355,9 +355,10 @@ def _gather_pairs_t(packed16, ext_ids, iperm, sorted_slot, counts):
     # barriers: materialize BOTH the concat-extended pack and the decoded
     # indices — XLA otherwise fuses concat/decode INTO the gather, whose
     # fused form runs 3× slower (6.4 ms vs ~2 ms at 1.6M rows)
+    m_cap = counts[6]
     pe, idx = jax.lax.optimization_barrier(
-        (pe, _decode_slots(sorted_slot, counts)))
-    rows = pe[idx]                                        # (m, 16) row gather
+        (pe, _decode_slots(sorted_slot[:m_cap], counts)))
+    rows = pe[idx]                                        # (m_cap, 16) gather
     # barrier: without it XLA fuses the transpose INTO the gather, emitting
     # a column-major gather (profiled 12 ms vs 2 ms gather + 1 ms relayout)
     rows = jax.lax.optimization_barrier(rows)
@@ -380,7 +381,7 @@ def _packed_ext(packed16, ext_ids, counts):
 
 def _decode_slots(slots, counts):
     """Pair slot → row of the extended packed array (region-wise % count)."""
-    n, E1, E2, L0, L1, L2 = counts
+    n, E1, E2, L0, L1, L2 = counts[:6]
     idx = slots % n                                       # base region
     c0 = L0 * n
     if E1:
@@ -404,10 +405,21 @@ def _gather_pairs_t_fwd(packed16, ext_ids, iperm, sorted_slot, counts):
 
 def _gather_pairs_t_bwd(counts, res, g):
     iperm, inv = res
-    n, E1, E2, L0, L1, L2 = counts
-    m = inv.shape[0]
-    g_rows = jnp.transpose(g[:, :m])                      # (m, 16)
-    g_unsorted = g_rows[inv]                              # row gather, no adds
+    n, E1, E2, L0, L1, L2, m_cap = counts
+    g_rows = jnp.transpose(g[:, :m_cap])                  # (m_cap, 16)
+    # identity matmul pins a row-major materialization: left free, XLA
+    # occasionally fuses transpose+gather into a strided column-major form
+    # (27.8 ms in the fit trace vs 5.5 ms for this structure)
+    g_rows = jax.lax.dot_general(
+        g_rows, jnp.eye(NCH, dtype=g_rows.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=g_rows.dtype)
+    # pairs past the valid-prefix cap carry zero gradient (they were never
+    # composited); pad one zero row and clamp the inverse permutation
+    g_rows = jnp.concatenate(
+        [g_rows, jnp.zeros((1, NCH), g_rows.dtype)], axis=0)
+    g_rows = jax.lax.optimization_barrier(g_rows)
+    sel = jnp.where(inv < m_cap, inv, m_cap)
+    g_unsorted = g_rows[sel]                              # row gather, no adds
     g_unsorted = jax.lax.optimization_barrier(g_unsorted)
     c0 = L0 * n
     d = g_unsorted[:c0].reshape(L0, n, NCH).sum(axis=0)   # original order
@@ -500,7 +512,8 @@ def _make_composite(n_tiles: int, tiles_x: int, m_padded: int, interpret: bool):
 
 @functools.partial(jax.jit, static_argnames=(
     "width", "height", "sh_degree", "max_tiles_per_gaussian", "render_depth",
-    "big_tiles_per_gaussian", "big_budget", "mid_budget", "interpret"))
+    "big_tiles_per_gaussian", "big_budget", "mid_budget", "max_valid_pairs",
+    "interpret"))
 def rasterize_gaussians_pallas(
     means3d: jnp.ndarray,     # (N, 3) world
     quats: jnp.ndarray,       # (N, 4) wxyz
@@ -522,6 +535,7 @@ def rasterize_gaussians_pallas(
     big_tiles_per_gaussian: int = 49,
     big_budget: int = 8192,
     mid_budget: int = 32768,
+    max_valid_pairs: Optional[int] = None,
     channels: Optional[Dict[str, tuple]] = None,
     interpret: bool = False,
 ) -> Dict[str, jnp.ndarray]:
@@ -576,10 +590,13 @@ def rasterize_gaussians_pallas(
         eval_sh_ch(sh_colors, dx / dn, dy / dn, dz / dn, sh_degree)
         + 0.5, 0.0)                                     # (3, N)
 
-    packed = jnp.stack([
+    # channel-major stack (compact, N on lanes) + one relayout transpose:
+    # stacking on the minor axis went through a scalar-memory staging copy
+    # (f32[N,12]{0,1}->S(1), ~1 ms/frame in the round-3 trace)
+    packed = jnp.transpose(jnp.stack([
         mean_x, mean_y, ch["conic_a"], ch["conic_b"], ch["conic_c"],
         opacities, colors[0], colors[1], colors[2], depth,
-    ], axis=-1)                                          # (N, 10)
+    ], axis=0))                                          # (N, 10)
 
     # ---- budgeted complement-window pair expansion + ONE 1-key sort ----
     # Every gaussian emits a 2×2 BASE window in ORIGINAL order (covers
@@ -692,15 +709,27 @@ def rasterize_gaussians_pallas(
     bounds = jnp.searchsorted(sorted_key, tids << rank_bits,
                               side="left").astype(jnp.int32)
 
+    # valid-prefix cap: invalid pairs sort to the tail, so only the first
+    # m_cap sorted pairs need materializing for the kernel; segments beyond
+    # the cap are clipped (counted in n_truncated_depth so callers can grow
+    # the cap, like the XLA path's max_per_tile)
+    if max_valid_pairs is not None and max_valid_pairs < m_pairs:
+        m_cap = max(CHUNK, max_valid_pairs)
+        n_overflow = jnp.maximum(bounds[-1] - m_cap, 0)
+        bounds = jnp.minimum(bounds, m_cap)
+    else:
+        m_cap = m_pairs
+        n_overflow = jnp.zeros((), jnp.int32)
+
     # NCH=16 channel rows: dynamic-offset DMA slices must cover a
     # sublane-aligned row count (Mosaic: "slice shape along dimension 0 must
     # be aligned to tiling (8)"), so the 10 used channels are padded to 16
     packed16 = jnp.concatenate(
         [packed, jnp.zeros((n, NCH - 10), packed.dtype)], axis=1)
-    counts = (n, E1, E2, L0, L1, L2)
+    counts = (n, E1, E2, L0, L1, L2, m_cap)
     pairs_t = _gather_pairs_t(packed16, ext_ids, iperm, sorted_slot, counts)
 
-    composite = _make_composite(n_tiles, tiles_x, m_pairs + CHUNK, interpret)
+    composite = _make_composite(n_tiles, tiles_x, m_cap + CHUNK, interpret)
     out = composite(pairs_t, bounds)                      # (n_tiles, PX, 8)
 
     T = jnp.exp(out[..., 5])                              # (n_tiles, PX)
@@ -722,8 +751,9 @@ def rasterize_gaussians_pallas(
         "means2d": jnp.stack([mean_x, mean_y], axis=-1),
         "visibility": valid & (radius > 0),
         "n_truncated": n_truncated,
-        # compositing is exact at any overlap depth — no per-tile cap exists
-        "n_truncated_depth": jnp.zeros((), jnp.int32),
+        # compositing is exact at any overlap depth (no per-tile cap); only
+        # a max_valid_pairs overflow clips, reported like a depth cap
+        "n_truncated_depth": n_overflow,
     }
     if render_depth:
         depth_tiles = out[..., 4] / jnp.clip(alpha_tiles, 1e-10)

@@ -232,3 +232,45 @@ def test_pallas_three_level_budgets_fwd_and_grad():
         big_tiles_per_gaussian=81, big_budget=1, mid_budget=1,
         interpret=True)
     assert int(out2["n_truncated"]) > 0
+
+
+def test_pallas_valid_prefix_cap():
+    """max_valid_pairs: a generous cap changes nothing (exact forward and
+    gradients); a tiny cap clips backmost pairs and COUNTS them via
+    n_truncated_depth instead of failing silently."""
+    means, quats, scales, opac, sh, viewmat, K = _scene(n=40, seed=3)
+    W = H = 32
+    common = dict(sh_degree=1, max_tiles_per_gaussian=36, interpret=True)
+
+    def run(**kw):
+        return rasterize_gaussians_pallas(
+            jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+            jnp.asarray(opac), jnp.asarray(sh), jnp.asarray(viewmat),
+            jnp.asarray(K), W, H, **common, **kw)
+
+    ref = run()
+    capped = run(max_valid_pairs=512)  # > valid pairs for 40 splats @32x32
+    assert int(capped["n_truncated_depth"]) == 0
+    np.testing.assert_allclose(np.asarray(capped["render"]),
+                               np.asarray(ref["render"]), atol=1e-6)
+
+    means2, quats2, scales2, opac2, sh2, viewmat2, K2 = _scene(n=300, seed=5)
+    tiny = rasterize_gaussians_pallas(
+        jnp.asarray(means2), jnp.asarray(quats2), jnp.asarray(scales2),
+        jnp.asarray(opac2), jnp.asarray(sh2), jnp.asarray(viewmat2),
+        jnp.asarray(K2), W, H, **common, max_valid_pairs=128)
+    assert int(tiny["n_truncated_depth"]) > 0
+
+    # gradients under a generous cap match the uncapped path
+    def loss(raster_kw):
+        def f(means3d):
+            o = rasterize_gaussians_pallas(
+                means3d, jnp.asarray(quats), jnp.asarray(scales),
+                jnp.asarray(opac), jnp.asarray(sh), jnp.asarray(viewmat),
+                jnp.asarray(K), W, H, **common, **raster_kw)
+            return jnp.mean(o["render"] ** 2)
+        return jax.grad(f)(jnp.asarray(means))
+
+    g_ref = np.asarray(loss({}))
+    g_cap = np.asarray(loss({"max_valid_pairs": 512}))
+    np.testing.assert_allclose(g_cap, g_ref, atol=1e-6)
