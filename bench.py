@@ -110,7 +110,7 @@ def bench_render(n=216_000, s=512, iters=20):
                  np.float32),
     )]
     raster = make_raster("auto", s, s, 1, max_per_tile=512,
-                         max_tiles_per_gaussian=16)
+                         max_tiles_per_gaussian=16, max_valid_pairs=3 * n)
 
     def loop(means3d, *rest):
         def body(i, m):

@@ -329,58 +329,56 @@ def _bwd_kernel(bounds_ref, pairs_ref, fwd_out_ref, g_ref,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _gather_pairs_t(packed16, ext_ids, iperm, sorted_slot, counts):
-    """(N,16) packed rows → (16, m+CHUNK) channel-major sorted pairs.
+def _gather_pairs_t(packed_cm, ext_ids, iperm, sorted_slot, counts):
+    """(16, N) channel-major pack → (16, m_cap+CHUNK) channel-major sorted
+    pairs — one LANE gather, no transposes.
 
     Pair slots live in three window-major regions (see the expansion in
     :func:`rasterize_gaussians_pallas`): the base region addresses ALL N
     gaussians in ORIGINAL order (no permutation — a per-gaussian permutation
     gather of N-sized channel arrays lowers onto the TPU scalar core,
     profiled at ~1.7 ms per array), and the two small ext regions address
-    the span-compacted subset ``ext_ids``. The slot therefore decodes to a
-    row of ``concat([packed16, packed16[ext_ids], packed16[ext_ids[:E2]]])``
-    with pure integer arithmetic, making the forward one row gather.
+    the span-compacted subset ``ext_ids``. The slot decodes to a column of
+    ``concat([pack, pack[:, ext_ids], pack[:, ext_ids[:E2]]], axis=1)``
+    with pure integer arithmetic.
+
+    Everything stays CHANNEL-MAJOR on both sides of the VJP: (m,16)
+    row-major intermediates are 8×-padded by the T(8,128) tiling and XLA
+    repeatedly chose strided column-major gather fusions for them
+    (12-28 ms/step); the lane-gather formulation is layout-unambiguous.
 
     Custom VJP: the plain gather's adjoint is a scatter-ADD over millions of
-    rows with duplicate indices (TPU scalar core, measured 255 ms/step in
-    round 2). Instead the backward un-sorts the cotangent with a GATHER
-    (inverse permutation from one 1-key sort of the carried pair slots),
-    reduces each region's window axis densely — the base region lands
-    directly in original order — and folds the ext contributions back with
-    two masked row gathers through ``iperm``. No scatter anywhere.
+    entries with duplicate indices (TPU scalar core, measured 255 ms/step in
+    round 2). Instead the backward un-sorts the cotangent with a lane
+    GATHER (inverse permutation carried from the forward), reduces each
+    region's window axis densely — the base region lands directly in
+    original order — and folds the ext contributions back with two masked
+    lane gathers through ``iperm``. No scatter anywhere.
 
-    counts = (n, E1, E2, L0, L1, L2): region gaussian counts and
-    window-offset counts (static)."""
-    pe = _packed_ext(packed16, ext_ids, counts)
-    # barriers: materialize BOTH the concat-extended pack and the decoded
-    # indices — XLA otherwise fuses concat/decode INTO the gather, whose
-    # fused form runs 3× slower (6.4 ms vs ~2 ms at 1.6M rows)
+    counts = (n, E1, E2, L0, L1, L2, m_cap): region gaussian counts,
+    window-offset counts, and the valid-prefix cap (all static)."""
     m_cap = counts[6]
+    pe = _packed_ext(packed_cm, ext_ids, counts)
     pe, idx = jax.lax.optimization_barrier(
         (pe, _decode_slots(sorted_slot[:m_cap], counts)))
-    rows = pe[idx]                                        # (m_cap, 16) gather
-    # barrier: without it XLA fuses the transpose INTO the gather, emitting
-    # a column-major gather (profiled 12 ms vs 2 ms gather + 1 ms relayout)
-    rows = jax.lax.optimization_barrier(rows)
-    return jnp.concatenate([
-        jnp.transpose(rows),
-        jnp.zeros((NCH, CHUNK), packed16.dtype),
-    ], axis=1)
+    cols = jnp.take(pe, idx, axis=1)                     # (16, m_cap)
+    return jnp.concatenate(
+        [cols, jnp.zeros((NCH, CHUNK), packed_cm.dtype)], axis=1)
 
 
-def _packed_ext(packed16, ext_ids, counts):
+def _packed_ext(packed_cm, ext_ids, counts):
     n, E1, E2, *_ = counts
-    parts = [packed16]
+    parts = [packed_cm]
     if E1:
-        ext1 = packed16[ext_ids]                          # (E1, 16) row gather
+        ext1 = jnp.take(packed_cm, ext_ids, axis=1)      # (16, E1)
         parts.append(ext1)
         if E2:
-            parts.append(ext1[:E2])
-    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else packed16
+            parts.append(ext1[:, :E2])
+    return jnp.concatenate(parts, axis=1) if len(parts) > 1 else packed_cm
 
 
 def _decode_slots(slots, counts):
-    """Pair slot → row of the extended packed array (region-wise % count)."""
+    """Pair slot → column of the extended pack (region-wise % count)."""
     n, E1, E2, L0, L1, L2 = counts[:6]
     idx = slots % n                                       # base region
     c0 = L0 * n
@@ -392,8 +390,8 @@ def _decode_slots(slots, counts):
     return idx
 
 
-def _gather_pairs_t_fwd(packed16, ext_ids, iperm, sorted_slot, counts):
-    out = _gather_pairs_t(packed16, ext_ids, iperm, sorted_slot, counts)
+def _gather_pairs_t_fwd(packed_cm, ext_ids, iperm, sorted_slot, counts):
+    out = _gather_pairs_t(packed_cm, ext_ids, iperm, sorted_slot, counts)
     # inverse pair permutation computed HERE, next to the main pair sort:
     # the same sort issued from the backward segment lowered onto the
     # scalar core (4 async S(1) slices, ~58 ms/step in the round-3 trace)
@@ -406,34 +404,27 @@ def _gather_pairs_t_fwd(packed16, ext_ids, iperm, sorted_slot, counts):
 def _gather_pairs_t_bwd(counts, res, g):
     iperm, inv = res
     n, E1, E2, L0, L1, L2, m_cap = counts
-    g_rows = jnp.transpose(g[:, :m_cap])                  # (m_cap, 16)
-    # identity matmul pins a row-major materialization: left free, XLA
-    # occasionally fuses transpose+gather into a strided column-major form
-    # (27.8 ms in the fit trace vs 5.5 ms for this structure)
-    g_rows = jax.lax.dot_general(
-        g_rows, jnp.eye(NCH, dtype=g_rows.dtype), (((1,), (0,)), ((), ())),
-        preferred_element_type=g_rows.dtype)
-    # pairs past the valid-prefix cap carry zero gradient (they were never
-    # composited); pad one zero row and clamp the inverse permutation
-    g_rows = jnp.concatenate(
-        [g_rows, jnp.zeros((1, NCH), g_rows.dtype)], axis=0)
-    g_rows = jax.lax.optimization_barrier(g_rows)
+    # pairs past the valid-prefix cap carry zero gradient (never composited):
+    # pad one zero column and clamp the inverse permutation
+    g_cm = jnp.concatenate(
+        [g[:, :m_cap], jnp.zeros((NCH, 1), g.dtype)], axis=1)
+    g_cm = jax.lax.optimization_barrier(g_cm)
     sel = jnp.where(inv < m_cap, inv, m_cap)
-    g_unsorted = g_rows[sel]                              # row gather, no adds
-    g_unsorted = jax.lax.optimization_barrier(g_unsorted)
+    u = jnp.take(g_cm, sel, axis=1)                       # (16, m) lane gather
+    u = jax.lax.optimization_barrier(u)
     c0 = L0 * n
-    d = g_unsorted[:c0].reshape(L0, n, NCH).sum(axis=0)   # original order
+    d = u[:, :c0].reshape(NCH, L0, n).sum(axis=1)         # (16, n) orig order
     if E1:
         c1 = c0 + L1 * E1
-        dm = g_unsorted[c0:c1].reshape(L1, E1, NCH).sum(axis=0)
-        dm = jnp.concatenate([dm, jnp.zeros((1, NCH), dm.dtype)], axis=0)
+        dm = u[:, c0:c1].reshape(NCH, L1, E1).sum(axis=1)
+        dm = jnp.concatenate([dm, jnp.zeros((NCH, 1), dm.dtype)], axis=1)
         sel1 = jnp.where(iperm < E1, iperm, E1)
-        d = d + dm[sel1]                                  # (N,16) row gather
+        d = d + jnp.take(dm, sel1, axis=1)
         if E2:
-            db = g_unsorted[c1:].reshape(L2, E2, NCH).sum(axis=0)
-            db = jnp.concatenate([db, jnp.zeros((1, NCH), db.dtype)], axis=0)
+            db = u[:, c1:].reshape(NCH, L2, E2).sum(axis=1)
+            db = jnp.concatenate([db, jnp.zeros((NCH, 1), db.dtype)], axis=1)
             sel2 = jnp.where(iperm < E2, iperm, E2)
-            d = d + db[sel2]
+            d = d + jnp.take(db, sel2, axis=1)
     return d, None, None, None
 
 
@@ -590,13 +581,12 @@ def rasterize_gaussians_pallas(
         eval_sh_ch(sh_colors, dx / dn, dy / dn, dz / dn, sh_degree)
         + 0.5, 0.0)                                     # (3, N)
 
-    # channel-major stack (compact, N on lanes) + one relayout transpose:
-    # stacking on the minor axis went through a scalar-memory staging copy
-    # (f32[N,12]{0,1}->S(1), ~1 ms/frame in the round-3 trace)
-    packed = jnp.transpose(jnp.stack([
+    # channel-major pack (compact, N on lanes) — 16 rows: 10 used channels
+    # padded to the 8-sublane tiling the kernel DMA needs
+    packed_cm = jnp.concatenate([jnp.stack([
         mean_x, mean_y, ch["conic_a"], ch["conic_b"], ch["conic_c"],
         opacities, colors[0], colors[1], colors[2], depth,
-    ], axis=0))                                          # (N, 10)
+    ], axis=0), jnp.zeros((NCH - 10, n), jnp.float32)], axis=0)  # (16, N)
 
     # ---- budgeted complement-window pair expansion + ONE 1-key sort ----
     # Every gaussian emits a 2×2 BASE window in ORIGINAL order (covers
@@ -721,13 +711,8 @@ def rasterize_gaussians_pallas(
         m_cap = m_pairs
         n_overflow = jnp.zeros((), jnp.int32)
 
-    # NCH=16 channel rows: dynamic-offset DMA slices must cover a
-    # sublane-aligned row count (Mosaic: "slice shape along dimension 0 must
-    # be aligned to tiling (8)"), so the 10 used channels are padded to 16
-    packed16 = jnp.concatenate(
-        [packed, jnp.zeros((n, NCH - 10), packed.dtype)], axis=1)
     counts = (n, E1, E2, L0, L1, L2, m_cap)
-    pairs_t = _gather_pairs_t(packed16, ext_ids, iperm, sorted_slot, counts)
+    pairs_t = _gather_pairs_t(packed_cm, ext_ids, iperm, sorted_slot, counts)
 
     composite = _make_composite(n_tiles, tiles_x, m_cap + CHUNK, interpret)
     out = composite(pairs_t, bounds)                      # (n_tiles, PX, 8)

@@ -69,7 +69,7 @@ def bench_render(trace=False):
                  np.float32),
     )]
     raster = make_raster("auto", s, s, 1, max_per_tile=512,
-                         max_tiles_per_gaussian=16)
+                         max_tiles_per_gaussian=16, max_valid_pairs=3 * n)
     iters = 20
 
     def loop(means3d, *rest):
