@@ -33,14 +33,27 @@ def _gaussian_window(size: int = 11, sigma: float = 1.5) -> np.ndarray:
     return np.outer(g, g).astype(np.float32)
 
 
-def _depthwise_blur(x: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
-    """(H, W, C) depthwise conv with SAME padding."""
-    C = x.shape[-1]
-    k = jnp.asarray(window)[:, :, None, None]
-    k = jnp.tile(k, (1, 1, 1, C))  # (kh, kw, 1, C) feature-group kernel
+def _depthwise_blur(x: jnp.ndarray, window: jnp.ndarray,
+                    channel_first: bool = False) -> jnp.ndarray:
+    """Depthwise conv with SAME padding over (H, W, C) or (C, H, W).
+
+    channel_first keeps the conv in compact layouts: a (H, W, 3) array is
+    42×-padded by the TPU T(8,128) tiling (3 → 128 lanes), so every blur on
+    it moves ~134 MB at 512² — (3, H, W) puts W on lanes instead."""
     # HIGHEST precision: at the TPU default (one bf16 MXU pass) the variance
     # estimate blur(x²) − μ² goes negative on low-variance regions and the
     # SSIM map's denominator flips sign (measured SSIM "3.17" on a real fit)
+    if channel_first:
+        C = x.shape[0]
+        k = jnp.tile(jnp.asarray(window)[None, None], (C, 1, 1, 1))  # OIHW
+        return jax.lax.conv_general_dilated(
+            x[None], k, window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"), feature_group_count=C,
+            precision=jax.lax.Precision.HIGHEST,
+        )[0]
+    C = x.shape[-1]
+    k = jnp.asarray(window)[:, :, None, None]
+    k = jnp.tile(k, (1, 1, 1, C))  # (kh, kw, 1, C) feature-group kernel
     return jax.lax.conv_general_dilated(
         x[None], k, window_strides=(1, 1), padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C,
@@ -48,16 +61,18 @@ def _depthwise_blur(x: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
     )[0]
 
 
-@partial(jax.jit, static_argnames=("window_size",))
-def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp.ndarray:
-    """Mean SSIM over an (H, W, C) pair (loss_utils.py:33-64)."""
+@partial(jax.jit, static_argnames=("window_size", "channel_first"))
+def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
+         channel_first: bool = False) -> jnp.ndarray:
+    """Mean SSIM over an (H, W, C) — or (C, H, W) — pair
+    (loss_utils.py:33-64)."""
     w = _gaussian_window(window_size)
-    mu1 = _depthwise_blur(img1, w)
-    mu2 = _depthwise_blur(img2, w)
+    mu1 = _depthwise_blur(img1, w, channel_first)
+    mu2 = _depthwise_blur(img2, w, channel_first)
     mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    s1 = _depthwise_blur(img1 * img1, w) - mu1_sq
-    s2 = _depthwise_blur(img2 * img2, w) - mu2_sq
-    s12 = _depthwise_blur(img1 * img2, w) - mu12
+    s1 = _depthwise_blur(img1 * img1, w, channel_first) - mu1_sq
+    s2 = _depthwise_blur(img2 * img2, w, channel_first) - mu2_sq
+    s12 = _depthwise_blur(img1 * img2, w, channel_first) - mu12
     C1, C2 = 0.01**2, 0.03**2
     ssim_map = ((2 * mu12 + C1) * (2 * s12 + C2)) / ((mu1_sq + mu2_sq + C1) * (s1 + s2 + C2))
     return jnp.mean(ssim_map)

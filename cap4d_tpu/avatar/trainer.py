@@ -134,7 +134,10 @@ class AvatarTrainer:
     def _auto_valid_pairs(self) -> int:
         cap = self.max_valid_pairs
         if not cap:
-            cap = 3 * int(self.gauss_params.xyz.shape[0])
+            gp = getattr(self, "gauss_params", None)
+            if gp is None:
+                return 0
+            cap = 3 * int(gp.xyz.shape[0])
         return cap
 
     def grow_raster_caps(self, footprint: bool, depth: bool) -> None:
@@ -144,7 +147,9 @@ class AvatarTrainer:
             self.max_tiles_per_gaussian = side * side
         if depth:
             self.max_per_tile = self.max_per_tile * 2
-            self.max_valid_pairs = self._auto_valid_pairs() * 2
+            auto = self._auto_valid_pairs()
+            if auto:
+                self.max_valid_pairs = auto * 2
         if self._render_fns:
             self._render_fns.clear()
 
@@ -395,16 +400,21 @@ class AvatarTrainer:
                 )
             image = out["render"] * mask[..., None]
             gt = gt_image * mask[..., None]
+            # photometric losses run CHANNEL-FIRST: (H, W, 3) arrays are
+            # 42×-padded by the TPU tiling, so the SSIM blur stack on them
+            # moved ~15 ms/step of padded bytes
+            image_cf = jnp.transpose(image, (2, 0, 1))
+            gt_cf = jnp.transpose(gt, (2, 0, 1))
 
             losses = {}
-            ssim_v = ssim(image, gt)
+            ssim_v = ssim(image_cf, gt_cf, channel_first=True)
             lam_ds = opt["lambda_dssim"]
             # the reference hands the photometric objective over to LPIPS as
             # λ_lpips ramps to 1 (train.py:152-165); without LPIPS weights
             # the (1-λ) down-weighting would drive the photometric loss to
             # ZERO — keep l1/SSIM at full weight instead
             photo_w = (1 - lambda_lpips) if lpips.available else 1.0
-            losses["l1"] = l1_loss(image, gt) * (1 - lam_ds) * photo_w
+            losses["l1"] = l1_loss(image_cf, gt_cf) * (1 - lam_ds) * photo_w
             losses["ssim"] = (1 - ssim_v) * lam_ds * photo_w
             if lpips.available:
                 losses["lpips"] = opt["w_lpips"] * lambda_lpips * lpips(image, gt)

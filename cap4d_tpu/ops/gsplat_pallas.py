@@ -703,7 +703,7 @@ def rasterize_gaussians_pallas(
     # m_cap sorted pairs need materializing for the kernel; segments beyond
     # the cap are clipped (counted in n_truncated_depth so callers can grow
     # the cap, like the XLA path's max_per_tile)
-    if max_valid_pairs is not None and max_valid_pairs < m_pairs:
+    if max_valid_pairs and max_valid_pairs < m_pairs:  # 0/None = uncapped
         m_cap = max(CHUNK, max_valid_pairs)
         n_overflow = jnp.maximum(bounds[-1] - m_cap, 0)
         bounds = jnp.minimum(bounds, m_cap)

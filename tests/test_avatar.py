@@ -262,3 +262,19 @@ def test_grow_capacity(tmp_path):
     np.testing.assert_allclose(np.asarray(tr.gauss_params.xyz[:12]), xyz_before)
     # padded rotations stay valid unit quats
     np.testing.assert_allclose(np.asarray(tr.gauss_params.rotation[12:, 0]), 1.0)
+
+
+def test_ssim_channel_first_parity():
+    """ssim(channel_first=True) must equal the NHWC reference path."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from cap4d_tpu.avatar.losses import ssim
+
+    r = np.random.default_rng(0)
+    a = r.uniform(0, 1, (64, 64, 3)).astype(np.float32)
+    b = np.clip(a + r.normal(scale=0.05, size=a.shape), 0, 1).astype(np.float32)
+    x = float(ssim(jnp.asarray(a), jnp.asarray(b)))
+    y = float(ssim(jnp.asarray(a.transpose(2, 0, 1)),
+                   jnp.asarray(b.transpose(2, 0, 1)), channel_first=True))
+    assert abs(x - y) < 1e-6
