@@ -35,6 +35,16 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, bk: int, sm_scale: float):
     bq, d = q.shape
     s_total = k_ref.shape[1]
     nk = s_total // bk
+    # fold ln2 into the scale once and run the whole softmax in the exp2
+    # domain — TPU's transcendental unit is exp2-native, so exp(x) costs an
+    # extra multiply per element that this removes from the hot loop
+    scale2 = sm_scale * 1.4426950408889634
+
+    def scores(kb):
+        k_blk = k_ref[0, pl.ds(kb * bk, bk), :]    # (BK, D)
+        return jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale2        # (BQ, BK)
 
     m0 = jnp.full((bq, 1), _NEG_INF, jnp.float32)
     l0 = jnp.zeros((bq, 1), jnp.float32)
@@ -42,14 +52,11 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, bk: int, sm_scale: float):
 
     def body(kb, carry):
         m, l, acc = carry
-        k_blk = k_ref[0, pl.ds(kb * bk, bk), :]    # (BK, D)
+        s = scores(kb)                                          # (BQ, BK)
         v_blk = v_ref[0, pl.ds(kb * bk, bk), :]
-        s = jax.lax.dot_general(
-            q, k_blk, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * sm_scale      # (BQ, BK)
         m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
-        alpha = jnp.exp(m - m_new)
-        p = jnp.exp(s - m_new)                                  # (BQ, BK)
+        alpha = jnp.exp2(m - m_new)
+        p = jnp.exp2(s - m_new)                                 # (BQ, BK)
         l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
         pv = jax.lax.dot_general(
             p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
@@ -62,8 +69,15 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, bk: int, sm_scale: float):
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
-def _flash_fwd(q, k, v, block_q=1024, block_k=1024, interpret=False):
-    """(BH, S, D) forward-only flash attention; S % block sizes == 0."""
+def _flash_fwd(q, k, v, block_q=512, block_k=1024, interpret=False):
+    """(BH, S, D) forward-only flash attention; S % block sizes == 0.
+
+    Scoped-VMEM budget (16 MB stack limit): the resident K/V block is
+    s*d*2B each (double-buffered by the pipeline), and the kernel body's
+    f32 score/softmax temporaries are ~3 * block_q * block_k * 4B. At
+    block_q=1024/s=8192 that sums to ~16.3 MB and Mosaic refuses to
+    compile; block_q=512 keeps the stack ~10 MB at every MMDM shape.
+    """
     bh, s, d = q.shape
     while s % block_q:
         block_q //= 2

@@ -33,15 +33,22 @@ def micro():
                    for _ in range(3))
         q3, k3, v3 = (x.reshape(b * h, s, d) for x in (q, k, v))
 
-        def time_fn(f, *args, iters=30):
-            def loop(*a):
-                def body(i, acc):
-                    return acc + f(*a).mean().astype(jnp.float32)
-                return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+        def time_fn(f, q0, k0, v0, iters=30):
+            # feed the output back in AS q: attention output has q's shape and
+            # stays bounded (rows are convex combinations of v), and the data
+            # dependency is real — `q + 0.0 * f(q, ...)` gets algebraically
+            # simplified away under --xla_allow_excess_precision and times at
+            # an impossible >100% MXU
+            def loop(q0, k0, v0):
+                def body(i, q):
+                    return f(q, k0, v0)
+                # fetch a SCALAR: pulling the full (B,H,S,D) output through
+                # the axon relay costs ~1.5 s and swamps the timing
+                return jnp.mean(jax.lax.fori_loop(0, iters, body, q0))
             g = jax.jit(loop)
-            np.asarray(g(*args))
+            np.asarray(g(q0, k0, v0))
             t0 = time.perf_counter()
-            np.asarray(g(*args))
+            np.asarray(g(q0, k0, v0))
             return (time.perf_counter() - t0) / iters * 1e3
 
         t_gen = time_fn(lambda q, k, v: _flash_fn()(q, k, v), q, k, v)
