@@ -33,32 +33,51 @@ def _gaussian_window(size: int = 11, sigma: float = 1.5) -> np.ndarray:
     return np.outer(g, g).astype(np.float32)
 
 
-def _depthwise_blur(x: jnp.ndarray, window: jnp.ndarray,
-                    channel_first: bool = False) -> jnp.ndarray:
-    """Depthwise conv with SAME padding over (H, W, C) or (C, H, W).
+def _banded_blur_mat(n: int, size: int, sigma: float) -> np.ndarray:
+    """(n, n) banded Toeplitz matrix of the 1-D gaussian taps: multiplying
+    along an axis == SAME-zero-padded depthwise conv along that axis."""
+    g = np.exp(-((np.arange(size) - size // 2) ** 2) / (2 * sigma**2))
+    g = (g / g.sum()).astype(np.float32)
+    m = np.zeros((n, n), np.float32)
+    half = size // 2
+    for t in range(size):
+        off = t - half
+        idx = np.arange(max(0, -off), min(n, n - off))
+        m[idx, idx + off] = g[t]
+    return m
 
-    channel_first keeps the conv in compact layouts: a (H, W, 3) array is
-    42×-padded by the TPU T(8,128) tiling (3 → 128 lanes), so every blur on
-    it moves ~134 MB at 512² — (3, H, W) puts W on lanes instead."""
+
+def _depthwise_blur(x: jnp.ndarray, window: jnp.ndarray,
+                    channel_first: bool = False, sigma: float = 1.5) -> jnp.ndarray:
+    """Separable gaussian blur with SAME zero padding over (H, W, C) or
+    (C, H, W), as two banded-matrix MATMULS.
+
+    The depthwise-conv formulation lowered onto a T(1,128) single-sublane
+    layout on TPU (~2.6 ms per 3×512² blur, 26× the bandwidth floor; eight
+    of them made SSIM ~23 ms of a 136 ms train step). The gaussian window
+    is an outer product, so blur = MH^T·X·MW with banded Toeplitz MH/MW —
+    two MXU matmuls, no transposes with the right dot_general chaining."""
     # HIGHEST precision: at the TPU default (one bf16 MXU pass) the variance
     # estimate blur(x²) − μ² goes negative on low-variance regions and the
     # SSIM map's denominator flips sign (measured SSIM "3.17" on a real fit)
+    hi = jax.lax.Precision.HIGHEST
+    size = window.shape[0]
     if channel_first:
-        C = x.shape[0]
-        k = jnp.tile(jnp.asarray(window)[None, None], (C, 1, 1, 1))  # OIHW
-        return jax.lax.conv_general_dilated(
-            x[None], k, window_strides=(1, 1), padding="SAME",
-            dimension_numbers=("NCHW", "OIHW", "NCHW"), feature_group_count=C,
-            precision=jax.lax.Precision.HIGHEST,
-        )[0]
-    C = x.shape[-1]
-    k = jnp.asarray(window)[:, :, None, None]
-    k = jnp.tile(k, (1, 1, 1, C))  # (kh, kw, 1, C) feature-group kernel
-    return jax.lax.conv_general_dilated(
-        x[None], k, window_strides=(1, 1), padding="SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C,
-        precision=jax.lax.Precision.HIGHEST,
-    )[0]
+        c, h, w = x.shape
+        mh = jnp.asarray(_banded_blur_mat(h, size, sigma))
+        mw = jnp.asarray(_banded_blur_mat(w, size, sigma))
+        t1 = jax.lax.dot_general(x, mh, (((1,), (0,)), ((), ())),
+                                 precision=hi)          # (C, W, H)
+        return jax.lax.dot_general(t1, mw, (((1,), (0,)), ((), ())),
+                                   precision=hi)        # (C, H, W)
+    h, w, c = x.shape
+    mh = jnp.asarray(_banded_blur_mat(h, size, sigma))
+    mw = jnp.asarray(_banded_blur_mat(w, size, sigma))
+    t1 = jax.lax.dot_general(x, mh, (((0,), (0,)), ((), ())),
+                             precision=hi)              # (W, C, H)
+    t2 = jax.lax.dot_general(t1, mw, (((0,), (0,)), ((), ())),
+                             precision=hi)              # (C, H, W)
+    return jnp.transpose(t2, (1, 2, 0))                 # (H, W, C)
 
 
 @partial(jax.jit, static_argnames=("window_size", "channel_first"))
