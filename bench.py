@@ -90,7 +90,11 @@ def bench_denoise():
     }
 
 
-def bench_render(n=216_000, s=512, iters=20):
+def bench_render(n=216_000, s=512, iters=100):
+    # 100 chained frames per dispatch: the axon tunnel adds ~100-200 ms of
+    # constant per-dispatch relay overhead, which at 20 frames/dispatch
+    # inflated the per-frame number by ~50% (trace-verified: device module
+    # time 11-12 ms/frame vs 17-20 ms wall at iters=20)
     import jax
     import jax.numpy as jnp
 

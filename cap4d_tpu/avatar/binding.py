@@ -187,18 +187,99 @@ def rotmat_to_quat_ch(m):
     return tuple(v / n for v in out)
 
 
-def face_frame_pack(verts: jnp.ndarray, faces: jnp.ndarray) -> jnp.ndarray:
+def build_corner_table(faces, n_verts: int):
+    """Static corner-gather plan for :func:`face_frame_pack` (host, one-time).
+
+    Returns ``(corner_cat, corner_table)``:
+      * corner_cat (3F,) int32 — vertex id of flat corner slot ``k·F + f``
+        (corner-major), the single gather index list for all 9 corner
+        channels at once;
+      * corner_table (MAXI, V) int32 — for each vertex, the flat corner
+        slots that reference it (sentinel ``3F`` past the end marks unused
+        entries). MAXI is the mesh's max vertex→corner incidence (6 on a
+        regular-grid UV remesh).
+
+    The table turns the gather's adjoint — a scatter-ADD over 3F duplicate
+    vertex ids, which XLA lowers to ~16 × 0.9 ms per-channel scatter fusions
+    per train step at R=256 — into one dense lane gather + a small-axis sum."""
+    import numpy as np
+
+    faces = np.asarray(faces, np.int64)
+    F = faces.shape[0]
+    flat = faces.T.reshape(-1)                     # (3F,) vertex per slot
+    order = np.argsort(flat, kind="stable")
+    counts = np.bincount(flat, minlength=n_verts)
+    maxi = int(counts.max()) if F else 1
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    pos = np.arange(3 * F) - starts[flat[order]]
+    table = np.full((maxi, n_verts), 3 * F, np.int64)
+    table[pos, flat[order]] = order
+    return flat.astype(np.int32), table.astype(np.int32)
+
+
+@jax.custom_vjp
+def corner_gather(vt: jnp.ndarray, corner_cat: jnp.ndarray,
+                  corner_table: jnp.ndarray) -> jnp.ndarray:
+    """``vt[:, corner_cat]``: (C, V) channel-major verts → (C, 3F) corner
+    channels, with a scatter-free adjoint.
+
+    One lane gather forward (vs 9 per-channel 1-D gathers). Backward: the
+    plain adjoint is a scatter-add over 3F duplicate vertex ids; instead we
+    gather each vertex's ≤MAXI incident corner-slot cotangents through the
+    static ``corner_table`` and reduce the small leading axis — table-major
+    layout keeps V on lanes throughout (a (C, V, MAXI) form would put MAXI's
+    tiny minor dim on lanes at 16-21× padding)."""
+    return jnp.take(vt, corner_cat, axis=1)
+
+
+def _corner_gather_fwd(vt, corner_cat, corner_table):
+    return corner_gather(vt, corner_cat, corner_table), (corner_table,)
+
+
+def _corner_gather_bwd(res, g):
+    (corner_table,) = res
+    C = g.shape[0]
+    gz = jnp.concatenate([g, jnp.zeros((C, 1), g.dtype)], axis=1)
+    gz = jax.lax.optimization_barrier(gz)          # keep decode out of the fusion
+    maxi, V = corner_table.shape
+    cols = jnp.take(gz, corner_table.reshape(-1), axis=1)   # (C, MAXI·V)
+    d = cols.reshape(C, maxi, V).sum(axis=1)                # (C, V)
+    return d, None, None
+
+
+corner_gather.defvjp(_corner_gather_fwd, _corner_gather_bwd)
+
+
+def face_frame_pack(verts: jnp.ndarray, faces: jnp.ndarray,
+                    corner_cat: jnp.ndarray = None,
+                    corner_table: jnp.ndarray = None) -> jnp.ndarray:
     """(V, 3) verts + (F, 3) faces → (F, 16) packed face frames.
 
     Channelwise equivalent of compute_face_orientation + rotmat_to_quat +
-    per-face centers (parity-tested against those)."""
+    per-face centers (parity-tested against those). Pass the static
+    ``build_corner_table`` products to route the 9 corner gathers through
+    one scatter-free custom-VJP lane gather (~18 ms/step cheaper at
+    R=256/105k faces on a v5e chip)."""
     vt = jnp.transpose(verts)                            # (3, V), one relayout
+
+    if corner_cat is not None:
+        F = faces.shape[0]
+        cols = corner_gather(vt, corner_cat, corner_table)   # (3, 3F)
+        v0 = tuple(cols[c, 0:F] for c in range(3))
+        v1 = tuple(cols[c, F:2 * F] for c in range(3))
+        v2 = tuple(cols[c, 2 * F:] for c in range(3))
+        return _face_frame_pack_ch(v0, v1, v2)
 
     def corner(k):
         idx = faces[:, k]
         return vt[0][idx], vt[1][idx], vt[2][idx]
 
     v0, v1, v2 = corner(0), corner(1), corner(2)
+    return _face_frame_pack_ch(v0, v1, v2)
+
+
+def _face_frame_pack_ch(v0, v1, v2) -> jnp.ndarray:
+    """Corner channel tuples (3 × (F,) each) → (F, 16) pack."""
     e0 = tuple(b - a for a, b in zip(v0, v1))            # v1 - v0
     e1 = tuple(b - a for a, b in zip(v0, v2))            # v2 - v0
     a0 = _norm3_ch(*e0)

@@ -24,6 +24,7 @@ import numpy as np
 from flax import struct
 
 from cap4d_tpu.avatar.binding import (
+    build_corner_table,
     compute_face_orientation,
     face_frame_pack,
     relative_rotation_loss_pack,
@@ -70,6 +71,12 @@ class UVAssets:
     remesh_faces: jnp.ndarray   # (Fr, 3) int32 into the R² texel-vertex grid
     template_faces: jnp.ndarray # (Ft, 3) int32 into template verts
     pos_enc: jnp.ndarray        # (R, R, 2·N_POS_ENC)
+    corner_cat: jnp.ndarray     # (3·Fr,) static corner-gather indices
+    corner_table: jnp.ndarray   # (MAXI, R²) vert→corner-slot incidence
+    resample_cat: jnp.ndarray   # (3·R²,) template-vert id per (k, texel) slot
+    resample_order: jnp.ndarray # (3·R²,) slots sorted by template-vert id
+    resample_bounds: jnp.ndarray  # (V+1,) segment bounds of the sorted slots
+    bary_cm: jnp.ndarray        # (3, R²) static bary weights, corner-major
 
     @property
     def resolution(self) -> int:
@@ -104,6 +111,20 @@ def build_uv_assets(
     deform_mask = deform_face[p2f] & uv_mask
 
     remesh_faces = gen_uv_mesh(uv_mask)
+    corner_cat, corner_table = build_corner_table(
+        remesh_faces, uv_resolution * uv_resolution)
+
+    # static resample plan (uv_resample_vjp): vertex ids per (corner, texel)
+    # slot, and the sorted-by-vertex segment layout its adjoint reduces over
+    T = uv_resolution * uv_resolution
+    V = template_verts.shape[0]
+    tex_vid = template_faces[p2f.reshape(-1)]            # (T, 3)
+    resample_cat = tex_vid.T.reshape(-1).astype(np.int64)  # slot s = k·T + t
+    resample_order = np.argsort(resample_cat, kind="stable")
+    res_counts = np.bincount(resample_cat, minlength=V)
+    resample_bounds = np.concatenate([[0], np.cumsum(res_counts)])
+    bary_cm = (np.asarray(bary).reshape(T, 3).T
+               * uv_mask.reshape(-1)[None]).astype(np.float32)
 
     return UVAssets(
         pix_to_face=jnp.asarray(p2f.astype(np.int32)),
@@ -113,6 +134,12 @@ def build_uv_assets(
         remesh_faces=jnp.asarray(remesh_faces),
         template_faces=jnp.asarray(template_faces.astype(np.int32)),
         pos_enc=jnp.asarray(get_pos_enc(N_POS_ENC, uv_resolution)),
+        corner_cat=jnp.asarray(corner_cat),
+        corner_table=jnp.asarray(corner_table),
+        resample_cat=jnp.asarray(resample_cat.astype(np.int32)),
+        resample_order=jnp.asarray(resample_order.astype(np.int32)),
+        resample_bounds=jnp.asarray(resample_bounds.astype(np.int32)),
+        bary_cm=jnp.asarray(bary_cm),
     )
 
 
@@ -123,6 +150,56 @@ def uv_resample(uv: UVAssets, verts: jnp.ndarray) -> jnp.ndarray:
     face_vals = verts[uv.template_faces]  # (Ft, 3, D)
     gathered = face_vals[uv.pix_to_face]  # (R, R, 3, D)
     return jnp.einsum("hwk,hwkd->hwd", uv.bary, gathered) * uv.uv_mask[..., None]
+
+
+@jax.custom_vjp
+def _uv_resample_planned(vt, bary_cm, cat, order, bounds):
+    """(D, V) channel-major verts → (R², D)-flat resample, scatter-free VJP.
+
+    Same linear map as :func:`uv_resample` (it is ``out[t] = Σ_k bary[t,k] ·
+    verts[face[p2f[t]], k]``, fully static in everything but ``verts``), but
+    as ONE lane gather through the precomputed slot list instead of chained
+    (Ft,3,D)/(R,R,3,D) tiny-minor-dim gathers. The adjoint — a scatter-add
+    over 3R² duplicate template-vertex ids that XLA ran as a ~3.3 ms/step
+    (Ft,3,3) scatter fusion — becomes a static-permutation segment sum:
+    sort slots by vertex id (permutation precomputed on host), cumsum, and
+    difference the per-vertex boundary columns (same pattern as
+    binding.gather_pack_rows)."""
+    D = vt.shape[0]
+    T = bary_cm.shape[1]
+    cols = jnp.take(vt, cat, axis=1)                    # (D, 3T)
+    out_cm = jnp.sum(cols.reshape(D, 3, T) * bary_cm[None], axis=1)
+    return jnp.transpose(out_cm)                        # (T, D)
+
+
+def _uv_resample_planned_fwd(vt, bary_cm, cat, order, bounds):
+    out = _uv_resample_planned(vt, bary_cm, cat, order, bounds)
+    return out, (bary_cm, order, bounds)
+
+
+def _uv_resample_planned_bwd(res, g):
+    bary_cm, order, bounds = res
+    T, D = g.shape
+    g_cm = jnp.transpose(g)                             # (D, T)
+    c = jnp.tile(g_cm, (1, 3)) * bary_cm.reshape(1, -1)  # (D, 3T), slot k·T+t
+    c = jax.lax.optimization_barrier(c)
+    sc = jnp.take(c, order, axis=1)                     # sorted by vertex id
+    cs = jnp.cumsum(sc, axis=1)
+    cs0 = jnp.concatenate([jnp.zeros((D, 1), cs.dtype), cs], axis=1)
+    d_vt = cs0[:, bounds[1:]] - cs0[:, bounds[:-1]]     # (D, V)
+    return d_vt, None, None, None, None
+
+
+_uv_resample_planned.defvjp(_uv_resample_planned_fwd, _uv_resample_planned_bwd)
+
+
+def uv_resample_vjp(uv: UVAssets, verts: jnp.ndarray) -> jnp.ndarray:
+    """Differentiation-friendly :func:`uv_resample` (identical values)."""
+    R = uv.resolution
+    out = _uv_resample_planned(jnp.transpose(verts), uv.bary_cm,
+                               uv.resample_cat, uv.resample_order,
+                               uv.resample_bounds)
+    return out.reshape(R, R, verts.shape[1])
 
 
 def allocate_gaussians(
@@ -217,8 +294,9 @@ def mesh_properties(
     neutral_verts = fwd(expr * 0.0, eye_rot * 0.0)
     offsets = verts - neutral_verts
 
-    remeshed_verts = uv_resample(uv, verts)                       # (R, R, 3)
-    remeshed_offsets = uv_resample(uv, offsets) / STD_DEFORM
+    remeshed_verts = uv_resample_vjp(uv, verts)                   # (R, R, 3)
+    # offsets feed the net through stop_gradient — no adjoint needed
+    remeshed_offsets = uv_resample_vjp(uv, offsets) / STD_DEFORM
 
     # deform net on [offsets ⊕ pos_enc] and [zeros ⊕ pos_enc] (:267-285)
     if use_expr_mask:
@@ -237,8 +315,8 @@ def mesh_properties(
     faces = uv.remesh_faces
 
     return MeshProperties(
-        face_pack=face_frame_pack(v_def, faces),
-        neutral_pack=face_frame_pack(v_neu, faces),
+        face_pack=face_frame_pack(v_def, faces, uv.corner_cat, uv.corner_table),
+        neutral_pack=face_frame_pack(v_neu, faces, uv.corner_cat, uv.corner_table),
         deform_output=deform_out,
         verts=v_def,
     )

@@ -162,12 +162,16 @@ def project_gaussians_ch(
     Returns a dict of (N,) channels:
       mean_x, mean_y, conic_a, conic_b, conic_c, depth, radius, valid.
     """
-    mx, my, mz = means3d[:, 0], means3d[:, 1], means3d[:, 2]
-    qn = jnp.sqrt(quats[:, 0] ** 2 + quats[:, 1] ** 2
-                  + quats[:, 2] ** 2 + quats[:, 3] ** 2)
-    q_ch = tuple(quats[:, i] / qn for i in range(4))
+    # ONE clean (N,k)→(k,N) relayout per array: per-column slices of T(4,128)
+    # arrays each lower to a ~1 ms strided (N,1)→T(1,128) copy at N=216k
+    # (ten of them on the render path), the 2-D transposes are ~0.05 ms
+    mt = jnp.transpose(means3d)
+    qt = jnp.transpose(quats)
+    st = jnp.transpose(scales)
+    qn = jnp.sqrt(qt[0] ** 2 + qt[1] ** 2 + qt[2] ** 2 + qt[3] ** 2)
+    q_ch = tuple(qt[i] / qn for i in range(4))
     return project_gaussians_channels(
-        (mx, my, mz), q_ch, (scales[:, 0], scales[:, 1], scales[:, 2]),
+        (mt[0], mt[1], mt[2]), q_ch, (st[0], st[1], st[2]),
         viewmat, K, width, height, near, far, eps2d)
 
 

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cap4d_tpu.avatar.binding import face_frame_pack
-from cap4d_tpu.avatar.flame_avatar import MeshProperties, UVAssets, build_uv_assets, uv_resample
+from cap4d_tpu.avatar.flame_avatar import MeshProperties, UVAssets, build_uv_assets, uv_resample_vjp
 from cap4d_tpu.smpl.model import SMPLModel, smpl_forward
 
 SMPL_ASSET_DIR = Path("data/assets/smpl")
@@ -74,11 +74,12 @@ class SMPLVariant:
             transl=None,
         )
         verts = out["verts"][0]
-        remeshed = uv_resample(self.uv, verts)
+        remeshed = uv_resample_vjp(self.uv, verts)
         R = self.uv.resolution
         v = remeshed.reshape(R * R, 3)
         faces = self.uv.remesh_faces
-        pack = face_frame_pack(v, faces)
+        pack = face_frame_pack(v, faces, self.uv.corner_cat,
+                               self.uv.corner_table)
         return MeshProperties(
             face_pack=pack, neutral_pack=pack,
             deform_output=jnp.zeros((R, R, 3)),

@@ -191,6 +191,64 @@ def test_face_frame_pack_matches_dense():
     np.testing.assert_allclose(pack[:, 11:14], np.asarray(orient)[:, :, 1], atol=1e-5)
 
 
+def test_face_frame_pack_corner_table_parity():
+    """Static corner-table path vs the per-channel gather path: identical
+    forward, and the scatter-free incidence-table adjoint matches the plain
+    scatter-add adjoint (grid mesh — realistic, well-conditioned faces)."""
+    from cap4d_tpu.avatar.binding import build_corner_table, face_frame_pack
+    from cap4d_tpu.avatar.flame_avatar import gen_uv_mesh
+
+    rng = np.random.default_rng(3)
+    R = 16
+    faces_np = gen_uv_mesh(np.ones((R, R), bool))
+    V = R * R
+    grid = np.stack(np.mgrid[0:R, 0:R], -1).reshape(-1, 2) / R
+    verts = jnp.asarray(np.concatenate(
+        [grid, 0.05 * rng.normal(size=(V, 1))], -1).astype(np.float32))
+    faces = jnp.asarray(faces_np)
+    cat, table = build_corner_table(faces_np, V)
+    assert table.shape[0] == 6  # grid-mesh vertex incidence bound
+    cat, table = jnp.asarray(cat), jnp.asarray(table)
+
+    p0 = face_frame_pack(verts, faces)
+    p1 = face_frame_pack(verts, faces, cat, table)
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+
+    co = jnp.asarray(rng.normal(size=p0.shape).astype(np.float32))
+    g0 = jax.grad(lambda v: jnp.sum(face_frame_pack(v, faces) * co))(verts)
+    g1 = jax.grad(
+        lambda v: jnp.sum(face_frame_pack(v, faces, cat, table) * co))(verts)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g1),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_uv_resample_planned_parity():
+    """uv_resample_vjp (static-plan lane gather + segment-sum adjoint) vs the
+    plain einsum uv_resample: same values, same gradient."""
+    from cap4d_tpu.avatar.flame_avatar import (
+        build_uv_assets, uv_resample, uv_resample_vjp)
+
+    rng = np.random.default_rng(5)
+    V, Ft, R = 40, 60, 16
+    verts = rng.normal(size=(V, 3)).astype(np.float32)
+    faces = np.stack(
+        [rng.choice(V, size=3, replace=False) for _ in range(Ft)]).astype(np.int64)
+    uvs = rng.uniform(0.05, 0.95, size=(V, 2)).astype(np.float32)
+    uv = build_uv_assets(verts, faces, uvs, faces, np.arange(V // 2), R)
+
+    vj = jnp.asarray(verts)
+    r0 = uv_resample(uv, vj)
+    r1 = uv_resample_vjp(uv, vj)
+    np.testing.assert_allclose(np.asarray(r0), np.asarray(r1),
+                               rtol=1e-6, atol=1e-6)
+
+    co = jnp.asarray(rng.normal(size=r0.shape).astype(np.float32))
+    g0 = jax.grad(lambda v: jnp.sum(uv_resample(uv, v) * co))(vj)
+    g1 = jax.grad(lambda v: jnp.sum(uv_resample_vjp(uv, v) * co))(vj)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g1),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_world_gaussians_pack_matches_dense():
     from cap4d_tpu.avatar.binding import face_frame_pack, rotmat_to_quat
 
