@@ -107,7 +107,10 @@ def main():
     data_dir = work / "generated_images"
     (data_dir / "flame").mkdir(parents=True, exist_ok=True)
     (data_dir / "images").mkdir(parents=True, exist_ok=True)
-    flame_dir = make_asset_dir(work)
+    # sphere_radius>0 → hull-triangulated head-sized template; the default
+    # random-fan template has giant faces whose bound splats blow past any
+    # footprint cap (synthetic_assets.py:62-66) and crawl at ~0.2 it/s
+    flame_dir = make_asset_dir(work, sphere_radius=0.09)
 
     rng = np.random.default_rng(12)
     shape = rng.normal(scale=0.3, size=(150,)).astype(np.float32)
@@ -179,7 +182,8 @@ def main():
 
     result = {
         "scene": f"synthetic oracle avatar, {N_VIEWS} orbit views @{RES}px, "
-                 f"{N_HELD_OUT} held out",
+                 f"{len(scene.test_cameras)} held out (10% val split, "
+                 "dataset_readers.py:637-648 semantics)",
         "iterations": args.iterations,
         "n_gaussians": int(trainer.gauss_aux.n_active),
         "fit_seconds": round(fit_s, 1),
