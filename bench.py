@@ -95,6 +95,14 @@ def bench_render(n=216_000, s=512, iters=100):
     # constant per-dispatch relay overhead, which at 20 frames/dispatch
     # inflated the per-frame number by ~50% (trace-verified: device module
     # time 11-12 ms/frame vs 17-20 ms wall at iters=20)
+    #
+    # Scene: splat scales exp(U[-7.5,-6.0]) give ~3.1 covered tiles per
+    # visible gaussian (605k pairs @216k) — the footprint profile of a
+    # densified avatar. Round 2/3 used exp(U[-7.0,-5.0]) (7.4 tiles avg,
+    # 1.45M pairs), which silently overflowed the 648k pair cap and the
+    # mid/big footprint budgets: 92k clipped footprints + 452k dropped
+    # pairs, i.e. the FPS measured only ~2/3 of the scene's true work. The
+    # bench now ASSERTS zero truncation so the number is an exact render.
     import jax
     import jax.numpy as jnp
 
@@ -106,7 +114,7 @@ def bench_render(n=216_000, s=512, iters=100):
     args = [jnp.asarray(v) for v in (
         means,
         rng.normal(size=(n, 4)).astype(np.float32),
-        np.exp(rng.uniform(-7.0, -5.0, size=(n, 3))).astype(np.float32),
+        np.exp(rng.uniform(-7.5, -6.0, size=(n, 3))).astype(np.float32),
         rng.uniform(0.2, 0.99, size=(n,)).astype(np.float32),
         rng.normal(scale=0.3, size=(n, 4, 3)).astype(np.float32),
         np.eye(4, dtype=np.float32),
@@ -114,7 +122,11 @@ def bench_render(n=216_000, s=512, iters=100):
                  np.float32),
     )]
     raster = make_raster("auto", s, s, 1, max_per_tile=512,
-                         max_tiles_per_gaussian=16, max_valid_pairs=3 * n)
+                         max_tiles_per_gaussian=16, max_valid_pairs=3 * n,
+                         mid_budget=8192, big_budget=1024)
+    probe = jax.jit(raster)(*args)
+    assert int(probe["n_truncated"]) == 0, int(probe["n_truncated"])
+    assert int(probe["n_truncated_depth"]) == 0, int(probe["n_truncated_depth"])
 
     def loop(means3d, *rest):
         def body(i, m):

@@ -61,20 +61,27 @@ def resolve_raster_backend(backend: str = "auto") -> str:
 def make_raster(backend: str, width: int, height: int, sh_degree: int,
                 max_per_tile: int, max_tiles_per_gaussian: int,
                 render_depth: bool = False, far: Optional[float] = None,
-                max_valid_pairs: Optional[int] = None):
+                max_valid_pairs: Optional[int] = None,
+                mid_budget: Optional[int] = None,
+                big_budget: Optional[int] = None):
     """Partial rasterizer for one static signature.
 
     The pallas path has no per-tile compositing cap (max_per_tile is ignored:
     compositing is exact at any overlap depth); only the side² tile-footprint
     cap max_tiles_per_gaussian applies to both. max_valid_pairs bounds the
     pallas path's materialized sorted-pair prefix (overflow counted in
-    n_truncated_depth)."""
+    n_truncated_depth); mid/big_budget size the pallas footprint-expansion
+    levels (None keeps the rasterizer defaults)."""
     kw = dict(width=width, height=height, sh_degree=sh_degree,
               max_tiles_per_gaussian=max_tiles_per_gaussian,
               render_depth=render_depth)
     if far is not None:
         kw["far"] = far
     if resolve_raster_backend(backend) == "pallas":
+        if mid_budget is not None:
+            kw["mid_budget"] = mid_budget
+        if big_budget is not None:
+            kw["big_budget"] = big_budget
         return partial(rasterize_gaussians_pallas,
                        max_valid_pairs=max_valid_pairs, **kw)
     return partial(rasterize_gaussians, max_per_tile=max_per_tile,

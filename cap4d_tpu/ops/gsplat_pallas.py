@@ -73,9 +73,56 @@ _ALPHA_MAX = 0.999
 
 
 def _tri(ch: int, inclusive: bool) -> jnp.ndarray:
+    # bf16: 0/1 entries are exact, so the split-bf16 dot below loses nothing
     row = jax.lax.broadcasted_iota(jnp.int32, (ch, ch), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (ch, ch), 1)
-    return ((row <= col) if inclusive else (row < col)).astype(jnp.float32)
+    return ((row <= col) if inclusive else (row < col)).astype(jnp.bfloat16)
+
+
+def _dot_tri(a: jnp.ndarray, u16: jnp.ndarray) -> jnp.ndarray:
+    """(PX, CH) @ (CH, CH) triangular prefix in TWO bf16 MXU passes.
+
+    This matmul dominates the kernel's MXU time (per pair it is PX×CH MACs —
+    everything else is O(PX) per pair). ``Precision.HIGHEST`` costs 6 bf16
+    passes; because ``u16`` is exactly representable (0/1) a two-term split
+    of ``a`` recovers ~16-17 mantissa bits (abs err ~2^-17·|Σ|, far inside
+    the 5e-4 gradient-parity tolerance) at one third the MXU cost —
+    measured 2.9→~1.6 ms/frame on the forward composite at bench shapes."""
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    dims = (((1,), (0,)), ((), ()))
+    return (jax.lax.dot_general(a_hi, u16, dims,
+                                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(a_lo, u16, dims,
+                                  preferred_element_type=jnp.float32))
+
+
+def _dot_ones(x: jnp.ndarray) -> jnp.ndarray:
+    """Column sums Σ_p x[p, :] as a (1, L) ones-row matmul in two bf16
+    passes (split x; the ones row is exact), replacing VPU sublane-reduction
+    trees with MXU work."""
+    ones = jnp.ones((1, x.shape[0]), jnp.bfloat16)
+    x_hi = x.astype(jnp.bfloat16)
+    x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    dims = (((1,), (0,)), ((), ()))
+    return (jax.lax.dot_general(ones, x_hi, dims,
+                                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(ones, x_lo, dims,
+                                  preferred_element_type=jnp.float32))
+
+
+def _dot3(a: jnp.ndarray, b: jnp.ndarray, dims) -> jnp.ndarray:
+    """General-operand dot in THREE bf16 MXU passes (≈Precision.HIGH, which
+    Mosaic does not lower in-kernel): a·b ≈ a_hi·b_hi + a_hi·b_lo + a_lo·b_hi,
+    dropping only the ~2^-16-relative a_lo·b_lo term. Halves the MXU cost of
+    the HIGHEST (6-pass) color matmuls."""
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    dd = functools.partial(jax.lax.dot_general, dimension_numbers=dims,
+                           preferred_element_type=jnp.float32)
+    return dd(a_hi, b_hi) + dd(a_hi, b_lo) + dd(a_lo, b_hi)
 
 
 def _chunk_fields(d):
@@ -92,11 +139,12 @@ def _alpha_terms(d, px, py, colmask):
     dx = px - mean_x                                   # (PX, CH)
     dy = py - mean_y
     sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
-    alpha_raw = opac * jnp.exp(-sigma)
+    expneg = jnp.exp(-sigma)
+    alpha_raw = opac * expneg
     keep = (sigma >= 0.0) & (alpha_raw >= _ALPHA_MIN) & colmask
     alpha = jnp.where(keep, jnp.minimum(alpha_raw, _ALPHA_MAX), 0.0)
     l = jnp.log1p(-alpha)
-    return alpha, l, dx, dy, sigma, alpha_raw, keep, colors, depth
+    return alpha, l, dx, dy, expneg, alpha_raw, keep, colors, depth
 
 
 def _pixel_coords(t, tiles_x):
@@ -152,18 +200,18 @@ def _fwd_kernel(bounds_ref, pairs_ref, out_ref, buf, sem, *, tiles_x):
         g_pos = j * CHUNK + lane - off0          # position within the segment
         colmask = (g_pos >= 0) & (g_pos < ln)
         alpha, l, _, _, _, _, _, colors, depth = _alpha_terms(d, px, py, colmask)
-        excl = jax.lax.dot_general(
-            l, u_excl, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+        excl = _dot_tri(l, u_excl)
         w = alpha * jnp.exp(excl + logT)               # (PX, CH)
-        rgb = rgb + jax.lax.dot_general(
-            w, colors, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)        # (PX, 3)
-        wsum = wsum + jnp.sum(w, axis=1, keepdims=True)
-        dsum = dsum + jnp.sum(w * depth, axis=1, keepdims=True)
-        logT = logT + jnp.sum(l, axis=1, keepdims=True)
+        # rgb + wsum + dsum in ONE matmul: ride two extra output lanes (a
+        # ones row and the depth row) instead of two (PX,CH) lane reductions
+        cmat = jnp.concatenate(
+            [colors, jnp.ones((1, CHUNK), jnp.float32), depth], axis=0)
+        acc = _dot3(w, cmat, (((1,), (1,)), ((), ())))  # (PX, 5)
+        rgb = rgb + acc[:, 0:3]
+        wsum = wsum + acc[:, 3:4]
+        dsum = dsum + acc[:, 4:5]
+        # Σ_j l_j = exclusive prefix at the last lane + the last lane itself
+        logT = logT + excl[:, CHUNK - 1:] + l[:, CHUNK - 1:]
         return j + 1, jnp.max(logT), rgb, wsum, dsum, logT
 
     n_done, _, rgb, wsum, dsum, logT = jax.lax.while_loop(
@@ -250,43 +298,42 @@ def _bwd_kernel(bounds_ref, pairs_ref, fwd_out_ref, g_ref,
         d = buf[j % 2]
         g_pos = j * CHUNK + lane - off0
         colmask = (g_pos >= 0) & (g_pos < ln)
-        (alpha, l, dx, dy, sigma, alpha_raw, keep,
+        (alpha, l, dx, dy, expneg, alpha_raw, keep,
          colors, depth) = _alpha_terms(d, px, py, colmask)
         ca, cb, cc = d[2:3], d[3:4], d[4:5]
 
-        T = jnp.exp(jax.lax.dot_general(
-            l, u_excl, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST) + logT)  # exclusive prefix
+        e = _dot_tri(l, u_excl)                         # exclusive prefix
+        T = jnp.exp(e + logT)
         w = alpha * T
 
         # q_k(p): sensitivity of the outputs to w_k at pixel p
-        q = (jax.lax.dot_general(g_rgb, colors, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+        q = (_dot3(g_rgb, colors, (((1,), (0,)), ((), ())))
              + g_wsum + g_dsum * depth)                 # (PX, CH)
         wq = w * q
-        incl = jax.lax.dot_general(wq, u_incl, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+        incl = _dot_tri(wq, u_incl)
         suffix = s_total - (prefix + incl)              # Σ_{j>k} w_j q_j
         d_alpha = T * q - (suffix + g_logT) / (1.0 - alpha)
         active = keep & (alpha_raw < _ALPHA_MAX)
         d_pre = jnp.where(active, d_alpha, 0.0)
 
-        d_opac = jnp.sum(d_pre * jnp.exp(-sigma), axis=0, keepdims=True)
         d_sigma = d_pre * (-alpha)
         gx = ca * dx + cb * dy
         gy = cc * dy + cb * dx
-        d_mx = jnp.sum(d_sigma * (-gx), axis=0, keepdims=True)
-        d_my = jnp.sum(d_sigma * (-gy), axis=0, keepdims=True)
-        d_ca = jnp.sum(d_sigma * 0.5 * dx * dx, axis=0, keepdims=True)
-        d_cb = jnp.sum(d_sigma * dx * dy, axis=0, keepdims=True)
-        d_cc = jnp.sum(d_sigma * 0.5 * dy * dy, axis=0, keepdims=True)
-        d_col = jax.lax.dot_general(g_rgb, w, (((0,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)  # (3, CH)
-        d_dep = jnp.sum(w * g_dsum, axis=0, keepdims=True)
+        # the seven (PX,CH)→(1,CH) pixel reductions as ONE 2-pass ones-row
+        # matmul over lane-stacked integrands (sublane reduction trees on
+        # (256,256) blocks are VPU-serial; the MXU does all seven in ~2
+        # passes). Lane order matches the packed-row layout 0..5 + depth.
+        integ = jnp.concatenate([
+            d_sigma * (-gx),            # 0: d_mean_x
+            d_sigma * (-gy),            # 1: d_mean_y
+            d_sigma * (0.5 * dx * dx),  # 2: d_conic_a
+            d_sigma * (dx * dy),        # 3: d_conic_b
+            d_sigma * (0.5 * dy * dy),  # 4: d_conic_c
+            d_pre * expneg,             # 5: d_opacity
+            w * g_dsum,                 # 6: d_depth
+        ], axis=1)                                      # (PX, 7*CH)
+        sums = _dot_ones(integ)                         # (1, 7*CH)
+        d_col = _dot3(g_rgb, w, (((0,), (0,)), ((), ())))   # (3, CH)
 
         slot = j % 2
         @pl.when(j >= 2)
@@ -300,12 +347,14 @@ def _bwd_kernel(bounds_ref, pairs_ref, fwd_out_ref, g_ref,
         def _():
             dma_rd((j + 1) % 2, j + 1).start()
         gbuf[slot] = rbuf[slot] + jnp.concatenate(
-            [d_mx, d_my, d_ca, d_cb, d_cc, d_opac, d_col, d_dep,
-             jnp.zeros((NCH - 10, CHUNK), jnp.float32)], axis=0)
+            [sums[:, i * CHUNK:(i + 1) * CHUNK] for i in range(6)]
+            + [d_col, sums[:, 6 * CHUNK:7 * CHUNK],
+               jnp.zeros((NCH - 10, CHUNK), jnp.float32)], axis=0)
         dma_out(slot, j).start()
 
-        prefix = prefix + jnp.sum(wq, axis=1, keepdims=True)
-        logT = logT + jnp.sum(l, axis=1, keepdims=True)
+        # running sums from the prefixes' last lanes — no lane reductions
+        prefix = prefix + incl[:, CHUNK - 1:]
+        logT = logT + e[:, CHUNK - 1:] + l[:, CHUNK - 1:]
         return j + 1, jnp.max(logT), prefix, logT
 
     n_done, _, _, _ = jax.lax.while_loop(

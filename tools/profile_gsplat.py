@@ -92,7 +92,7 @@ def bench_render(trace=False):
     args = [jnp.asarray(v) for v in (
         means,
         rng.normal(size=(n, 4)).astype(np.float32),
-        np.exp(rng.uniform(-7.0, -5.0, size=(n, 3))).astype(np.float32),
+        np.exp(rng.uniform(-7.5, -6.0, size=(n, 3))).astype(np.float32),
         rng.uniform(0.2, 0.99, size=(n,)).astype(np.float32),
         rng.normal(scale=0.3, size=(n, 4, 3)).astype(np.float32),
         np.eye(4, dtype=np.float32),
@@ -100,7 +100,8 @@ def bench_render(trace=False):
                  np.float32),
     )]
     raster = make_raster("auto", s, s, 1, max_per_tile=512,
-                         max_tiles_per_gaussian=16, max_valid_pairs=3 * n)
+                         max_tiles_per_gaussian=16, max_valid_pairs=3 * n,
+                         mid_budget=8192, big_budget=1024)
     iters = 20
 
     def loop(means3d, *rest):
