@@ -654,6 +654,19 @@ def rasterize_gaussians_pallas(
     tiles_x = (width + TILE - 1) // TILE
     tiles_y = (height + TILE - 1) // TILE
     n_tiles = tiles_x * tiles_y
+    # alpha-bound tile cull radius: the kernel zeroes any pair-pixel with
+    # alpha_raw = opac·exp(-σ) < _ALPHA_MIN, and σ ≥ ½·λ_min(conic)·r² for a
+    # pixel at distance r from the mean — so a tile whose NEAREST rect point
+    # sits beyond r²_cut = 2·log(opac/_ALPHA_MIN)/λ_min can never pass the
+    # keep mask and is culled EXACTLY (pixel centers are ≥ the rect
+    # distance, so the bound is conservative). Bbox corner tiles and the
+    # whole footprint of sub-1/255-opacity splats (r²_cut < 0) drop out of
+    # the pair list ~15-25% before the sort/gather/composite.
+    lam_min = (0.5 * (ch["conic_a"] + ch["conic_c"])
+               - jnp.sqrt(0.25 * (ch["conic_a"] - ch["conic_c"]) ** 2
+                          + ch["conic_b"] ** 2))
+    r2_cut = (2.0 * jnp.log(jnp.maximum(opacities, 1e-30) / _ALPHA_MIN)
+              / jnp.maximum(lam_min, 1e-12))
     tx0 = jnp.floor((mean_x - radius) / TILE).astype(jnp.int32)
     ty0 = jnp.floor((mean_y - radius) / TILE).astype(jnp.int32)
     tx1 = jnp.floor((mean_x + radius) / TILE).astype(jnp.int32)
@@ -701,12 +714,16 @@ def rasterize_gaussians_pallas(
         ext_ids = iota_n[:0]
 
     # pack the per-gaussian window channels once so ext regions need ONE
-    # small row gather instead of per-array scalar-core gathers
+    # small row gather instead of per-array scalar-core gathers (float
+    # channels ride bitcast in the same int32 pack)
     win_pack = jnp.stack(
         [tx0, ty0, tx1, ty1, rank, valid.astype(jnp.int32),
-         jnp.zeros_like(tx0), jnp.zeros_like(tx0)], axis=1)   # (N, 8)
+         jax.lax.bitcast_convert_type(mean_x, jnp.int32),
+         jax.lax.bitcast_convert_type(mean_y, jnp.int32),
+         jax.lax.bitcast_convert_type(r2_cut, jnp.int32),
+         jnp.zeros_like(tx0)], axis=1)                      # (N, 10)
 
-    def window_keys(off_list, x0, y0, x1, y1, rk, vld):
+    def window_keys(off_list, x0, y0, x1, y1, rk, vld, mx, my, r2c):
         """(L, E) fused sort keys from (E,) window channel vectors."""
         oa = jnp.asarray(np.array(off_list, np.int32))
         cy = y0[None, :] + oa[:, 0:1]
@@ -714,16 +731,29 @@ def rasterize_gaussians_pallas(
         ok = (vld[None, :]
               & (cx >= 0) & (cx < tiles_x) & (cy >= 0) & (cy < tiles_y)
               & (cx <= x1[None, :]) & (cy <= y1[None, :]))
+        # exact alpha-bound cull (see r2_cut above): distance from the mean
+        # to the tile's pixel rect, zero when the mean is inside
+        tlx = (cx * TILE).astype(jnp.float32)
+        tly = (cy * TILE).astype(jnp.float32)
+        ddx = jnp.maximum(jnp.maximum(tlx - mx[None, :],
+                                      mx[None, :] - (tlx + TILE)), 0.0)
+        ddy = jnp.maximum(jnp.maximum(tly - my[None, :],
+                                      my[None, :] - (tly + TILE)), 0.0)
+        ok = ok & (ddx * ddx + ddy * ddy <= r2c[None, :])
         tile = cy * tiles_x + cx
         return jnp.where(ok, (tile << rank_bits) | rk[None, :],
                          n_tiles << rank_bits)
 
     # base region: original order, original 1-D channel vectors — no gather
     key_parts = [window_keys(base_offs, tx0, ty0, tx1, ty1,
-                             rank, valid).reshape(-1)]
+                             rank, valid, mean_x, mean_y, r2_cut).reshape(-1)]
     if E1:
-        wp_ext = win_pack[ext_ids]                        # (E1, 8) row gather
-        ext_ch = tuple(wp_ext[:, i] for i in range(5)) + (wp_ext[:, 5] > 0,)
+        wp_ext = win_pack[ext_ids]                        # (E1, 10) row gather
+        ext_ch = (tuple(wp_ext[:, i] for i in range(5))
+                  + (wp_ext[:, 5] > 0,)
+                  + tuple(jax.lax.bitcast_convert_type(wp_ext[:, i],
+                                                       jnp.float32)
+                          for i in (6, 7, 8)))
         if L1:
             key_parts.append(window_keys(mid_offs, *ext_ch).reshape(-1))
         if E2:

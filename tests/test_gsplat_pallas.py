@@ -254,7 +254,8 @@ def test_pallas_valid_prefix_cap():
     np.testing.assert_allclose(np.asarray(capped["render"]),
                                np.asarray(ref["render"]), atol=1e-6)
 
-    means2, quats2, scales2, opac2, sh2, viewmat2, K2 = _scene(n=300, seed=5)
+    # dense enough that >256 pairs survive the alpha-bound tile cull
+    means2, quats2, scales2, opac2, sh2, viewmat2, K2 = _scene(n=1500, seed=5)
     tiny = rasterize_gaussians_pallas(
         jnp.asarray(means2), jnp.asarray(quats2), jnp.asarray(scales2),
         jnp.asarray(opac2), jnp.asarray(sh2), jnp.asarray(viewmat2),
