@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import argparse
 import shutil
+import time
 from pathlib import Path
 from typing import Dict, Optional
 
@@ -158,6 +159,7 @@ def run_generation(
     rng, s_rng = jax.random.split(rng)
     from cap4d_tpu.utils.logging import profile_trace
 
+    t_sample = time.perf_counter()
     with profile_trace(profile_dir):
         z_gen = sampler.sample(
             S=int(gen_config["n_ddim_steps"]),
@@ -170,13 +172,20 @@ def run_generation(
             rng=s_rng,
             checkpoint_dir=str(out) if resume else None,
         )
+    z_gen_host = np.asarray(z_gen)      # device->host fetch = real sync
+    sampler_s = time.perf_counter() - t_sample
 
+    t_decode = time.perf_counter()
     print(f"Saving reference images to {out_ref}/images")
     save_images(model.decode_latents(jnp.asarray(ref_cond["z_input"])), out_ref)
     print(f"Saving generated images to {out_gen}/images")
     imgs = model.decode_latents(z_gen)
     save_images(imgs, out_gen)
-    return {"z_gen": np.asarray(z_gen), "images": imgs}
+    decode_s = time.perf_counter() - t_decode
+    print(f"Timing: sampler {sampler_s:.1f}s (incl. jit compile), "
+          f"decode+save {decode_s:.1f}s")
+    return {"z_gen": z_gen_host, "images": imgs,
+            "sampler_s": sampler_s, "decode_s": decode_s}
 
 
 def main():

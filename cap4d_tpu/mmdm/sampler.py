@@ -116,7 +116,25 @@ class StochasticIOSampler:
             eps, _ = jax.lax.scan(body, eps0, (ref_rounds, gen_rounds))
             return x_bank * x_factor + eps * e_factor
 
-        return jax.jit(step, donate_argnums=(2,))
+        def multi_step(params, banks, x_bank, ts_k, ref_rounds_k, gen_rounds_k,
+                       cfg_scale, x_factor_k, e_factor_k):
+            """K DDIM steps in ONE dispatch: scan `step` over the leading
+            step axis. On the tunneled TPU each dispatch costs ~2.5 s of
+            host/relay overhead (round-3 full-run measurement: 534 s sampler
+            wall vs 268 s device busy for 100 dispatches); batching
+            checkpoint-interval-many steps per call removes ~90% of it.
+            Math is the per-step graph unchanged, so results are identical."""
+
+            def body(x, per):
+                ts, rr, gr, xf, ef = per
+                return step(params, banks, x, ts, rr, gr, cfg_scale, xf, ef), None
+
+            x, _ = jax.lax.scan(
+                body, x_bank,
+                (ts_k, ref_rounds_k, gen_rounds_k, x_factor_k, e_factor_k))
+            return x
+
+        return jax.jit(multi_step, donate_argnums=(2,))
 
     # -- public API ---------------------------------------------------------
 
@@ -205,41 +223,62 @@ class StochasticIOSampler:
             )
 
         time_range = np.flip(ddim_ts)
-        for i, step_t in enumerate(time_range):
-            index = S - i - 1
-            if i < start_step:
-                continue
-            if R == 1:
-                ref_rounds = np.zeros((n_groups, R), np.int32)
-            else:
-                ref_rounds = np.stack(
-                    [host_rng.permutation(n_all_ref)[:R] for _ in range(n_groups)]
-                ).astype(np.int32)
-            gen_rounds = host_rng.permutation(n_gen).reshape(n_groups, G).astype(np.int32)
-            ref_rounds = ref_rounds.reshape(n_rounds, n_par, R)
-            gen_rounds = gen_rounds.reshape(n_rounds, n_par, G)
+        # K steps per dispatch (see multi_step): the checkpoint interval when
+        # checkpointing (snapshot cadence preserved; per-step when the resume
+        # tests set checkpoint_every=1), otherwise blocks of 10 — lax.scan
+        # compiles its body once regardless of K, so fewer dispatches are
+        # strictly cheaper off-tunnel. The block is capped at 10 because a
+        # single dispatch running ≳1 device-minute trips the tunneled
+        # worker's watchdog (observed twice in round 3: 65 s and 4.4 min
+        # blocks → "TPU worker process crashed"; 26 s blocks run reliably).
+        # progress_cb fires per dispatched block.
+        K_max = checkpoint_every if (ckpt_path is not None
+                                     or progress_cb is not None) else min(S, 10)
+        i = start_step
+        while i < S:
+            K = min(K_max, S - i)
+            ts_k = np.empty((K,), np.int32)
+            xf_k = np.empty((K,), np.float32)
+            ef_k = np.empty((K,), np.float32)
+            rr_k = np.empty((K, n_rounds, n_par, R), np.int32)
+            gr_k = np.empty((K, n_rounds, n_par, G), np.int32)
+            for k in range(K):
+                index = S - (i + k) - 1
+                ts_k[k] = time_range[i + k]
+                if R == 1:
+                    ref_rounds = np.zeros((n_groups, R), np.int32)
+                else:
+                    ref_rounds = np.stack(
+                        [host_rng.permutation(n_all_ref)[:R]
+                         for _ in range(n_groups)]).astype(np.int32)
+                gen_rounds = host_rng.permutation(n_gen).reshape(
+                    n_groups, G).astype(np.int32)
+                rr_k[k] = ref_rounds.reshape(n_rounds, n_par, R)
+                gr_k[k] = gen_rounds.reshape(n_rounds, n_par, G)
 
-            # DDIM update scalars in float64 (sampler.py:215-229)
-            a_t = np.float64(alphas[index])
-            a_prev = np.float64(alphas_prev[index])
-            sig = np.float64(sigmas[index])
-            sq1m = np.sqrt(1.0 - a_t)
-            e_factor = -np.sqrt(a_prev) * sq1m / np.sqrt(a_t) + np.sqrt(1.0 - a_prev - sig**2)
-            x_factor = np.sqrt(a_prev) / np.sqrt(a_t)
+                # DDIM update scalars in float64 (sampler.py:215-229)
+                a_t = np.float64(alphas[index])
+                a_prev = np.float64(alphas_prev[index])
+                sig = np.float64(sigmas[index])
+                sq1m = np.sqrt(1.0 - a_t)
+                ef_k[k] = (-np.sqrt(a_prev) * sq1m / np.sqrt(a_t)
+                           + np.sqrt(1.0 - a_prev - sig ** 2))
+                xf_k[k] = np.sqrt(a_prev) / np.sqrt(a_t)
 
             x_bank = step_fn(
                 self.model.unet_params, banks, x_bank,
-                jnp.int32(step_t), jnp.asarray(ref_rounds), jnp.asarray(gen_rounds),
-                jnp.float32(cfg_scale), jnp.float32(x_factor), jnp.float32(e_factor),
+                jnp.asarray(ts_k), jnp.asarray(rr_k), jnp.asarray(gr_k),
+                jnp.float32(cfg_scale), jnp.asarray(xf_k), jnp.asarray(ef_k),
             )
+            i += K
             if progress_cb is not None:
-                progress_cb(i + 1, S)
-            if ckpt_path is not None and ((i + 1) % checkpoint_every == 0 or i + 1 == S):
+                progress_cb(i, S)
+            if ckpt_path is not None and (i % checkpoint_every == 0 or i == S):
                 import pickle
 
                 tmp = ckpt_path.with_suffix(".tmp")
                 with open(tmp, "wb") as fh:
-                    pickle.dump({"x_bank": np.asarray(x_bank), "step": i + 1,
+                    pickle.dump({"x_bank": np.asarray(x_bank), "step": i,
                                  "rng_state": host_rng.get_state(),
                                  "n_gen": n_gen, "S": S, "seed": seed}, fh)
                 tmp.replace(ckpt_path)
