@@ -223,17 +223,20 @@ class StochasticIOSampler:
             )
 
         time_range = np.flip(ddim_ts)
-        # K steps per dispatch (see multi_step): the checkpoint interval when
-        # checkpointing (snapshot cadence preserved; per-step when the resume
-        # tests set checkpoint_every=1), otherwise blocks of 10 — lax.scan
-        # compiles its body once regardless of K, so fewer dispatches are
-        # strictly cheaper off-tunnel. The block is capped at 10 because a
-        # single dispatch running ≳1 device-minute trips the tunneled
+        # K steps per dispatch (see multi_step): lax.scan compiles its body
+        # once regardless of K, so fewer dispatches are strictly cheaper —
+        # but a single dispatch running ≳1 device-minute trips the tunneled
         # worker's watchdog (observed twice in round 3: 65 s and 4.4 min
-        # blocks → "TPU worker process crashed"; 26 s blocks run reliably).
-        # progress_cb fires per dispatched block.
-        K_max = checkpoint_every if (ckpt_path is not None
-                                     or progress_cb is not None) else min(S, 10)
+        # blocks → "TPU worker process crashed"; 26 s blocks run reliably),
+        # so the block is sized to ~200 group-steps (≈26 s at the measured
+        # 131 ms/group-step). Checkpoint cadence caps it further (snapshots
+        # keep their interval; the resume tests' checkpoint_every=1 stays
+        # per-step). progress_cb fires per dispatched block.
+        K_disp = max(1, 200 // max(1, n_rounds))
+        if ckpt_path is not None or progress_cb is not None:
+            K_max = min(checkpoint_every, K_disp)
+        else:
+            K_max = min(S, K_disp)
         i = start_step
         while i < S:
             K = min(K_max, S - i)
@@ -273,7 +276,12 @@ class StochasticIOSampler:
             i += K
             if progress_cb is not None:
                 progress_cb(i, S)
-            if ckpt_path is not None and (i % checkpoint_every == 0 or i == S):
+            # fire when a checkpoint_every boundary was crossed inside this
+            # block (K may be smaller than the interval when the dispatch-
+            # duration cap K_disp binds)
+            if ckpt_path is not None and (
+                    (i // checkpoint_every) > ((i - K) // checkpoint_every)
+                    or i == S):
                 import pickle
 
                 tmp = ckpt_path.with_suffix(".tmp")
