@@ -9,6 +9,7 @@ reference weights download drops in unchanged.
 
 from __future__ import annotations
 
+import functools
 import os
 from dataclasses import dataclass
 from functools import partial
@@ -53,6 +54,22 @@ def _coerce_numbers(obj):
 def load_yaml(path: str | Path) -> Dict[str, Any]:
     with open(path) as fh:
         return _coerce_numbers(yaml.safe_load(fh))
+
+
+@functools.lru_cache(maxsize=8)
+def _jitted_vae(vae, method: str):
+    """Jitted VAE encode/decode, cached per module config. Unjitted
+    ``vae.apply`` dispatches every conv eagerly — harmless on CPU, but each
+    dispatch through the tunneled-TPU relay costs ~100 ms, which made the
+    84-image @512 decode phase ~2 minutes. Params are ARGUMENTS (closed-over
+    params would embed gigabytes of constants in the HLO)."""
+    if method == "encode":
+        def f(params, x, rng):
+            return vae.apply({"params": params}, x, rng, method=vae.encode)
+    else:
+        def f(params, x):
+            return vae.apply({"params": params}, x, method=vae.decode)
+    return jax.jit(f)
 
 
 @dataclass
@@ -213,25 +230,29 @@ class MMDM:
 
         Posterior-sampled like the reference's get_first_stage_encoding
         (ddpm.py:656, scale 0.18215)."""
+        enc = _jitted_vae(self.vae, "encode")
         outs = []
         for i in range(0, images.shape[0], chunk):
             rng, sub = jax.random.split(rng)
-            z = self.vae.apply(
-                {"params": self.vae_params}, jnp.asarray(images[i : i + chunk]), sub,
-                method=self.vae.encode,
-            )
-            outs.append(z)
+            x = jnp.asarray(images[i : i + chunk])
+            n = x.shape[0]
+            if n < chunk:  # pad the tail: one compiled shape for all chunks
+                x = jnp.concatenate(
+                    [x, jnp.zeros((chunk - n, *x.shape[1:]), x.dtype)])
+            outs.append(enc(self.vae_params, x, sub)[:n])
         return jnp.concatenate(outs, axis=0) * self.scale_factor
 
     def decode_latents(self, z: jnp.ndarray, chunk: int = 8) -> np.ndarray:
         """Scaled latents (N, h, w, 4) → images (N, H, W, 3) in [-1,1]."""
+        dec = _jitted_vae(self.vae, "decode")
         outs = []
         for i in range(0, z.shape[0], chunk):
-            x = self.vae.apply(
-                {"params": self.vae_params}, jnp.asarray(z[i : i + chunk]) / self.scale_factor,
-                method=self.vae.decode,
-            )
-            outs.append(np.asarray(x))
+            x = jnp.asarray(z[i : i + chunk]) / self.scale_factor
+            n = x.shape[0]
+            if n < chunk:
+                x = jnp.concatenate(
+                    [x, jnp.zeros((chunk - n, *x.shape[1:]), x.dtype)])
+            outs.append(np.asarray(dec(self.vae_params, x))[:n])
         return np.concatenate(outs, axis=0)
 
     # ---------------- conditioning ----------------

@@ -215,3 +215,32 @@ def test_fwdopt_flash_kernel_matches_einsum_interpret():
     attn /= attn.sum(-1, keepdims=True)
     ref = np.einsum("bij,bjd->bid", attn, v)
     np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_mmdm_vae_chunked_tail_padding():
+    """MMDM.encode_images/decode_latents pad the last partial chunk to the
+    compiled chunk shape (one jitted executable for any N); results must
+    equal a single-batch apply for every N, divisible or not."""
+    from cap4d_tpu.mmdm.model import MMDM, _jitted_vae
+
+    vae = AutoencoderKL(embed_dim=4, ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                        z_channels=4)
+    rng = np.random.default_rng(0)
+    img = rng.normal(size=(5, 16, 16, 3)).astype(np.float32)
+    params = vae.init(jax.random.PRNGKey(0), jnp.asarray(img[:1]))["params"]
+    model = MMDM.__new__(MMDM)
+    model.vae = vae
+    model.vae_params = params
+    model.scale_factor = 0.18215
+
+    for n in (1, 2, 3, 5):  # tail < chunk, == chunk, and multi-chunk cases
+        z = model.encode_images(img[:n], jax.random.PRNGKey(1), chunk=2)
+        assert z.shape[0] == n
+        imgs = model.decode_latents(z, chunk=2)
+        assert imgs.shape == (n, 16, 16, 3)
+        # decode must match an unchunked single apply (fp-tolerance: XLA fuses
+        # convs differently per batch shape)
+        ref = vae.apply({"params": params},
+                        jnp.asarray(z) / model.scale_factor,
+                        method=vae.decode)
+        np.testing.assert_allclose(imgs, np.asarray(ref), atol=1e-4)
