@@ -274,21 +274,25 @@ class MMDM:
             piece = {k: jnp.asarray(v[i : i + chunk]) for k, v in cond_batch.items()}
             if z is not None:
                 piece["z"] = z[i : i + chunk, None]
-            out = conditioning_forward(self.cond_model, piece, unconditional=False)
-            outs.append(jax.tree.map(np.asarray, out))
+            # keep the bank ON DEVICE: fetching it (N·128²·50·4B ≈ 262 MB at
+            # 80 frames) to host and re-uploading it for the sampler cost
+            # minutes through the tunneled TPU; callers that need host
+            # copies (condition vis, npz dumps) np.asarray on demand
+            outs.append(conditioning_forward(self.cond_model, piece,
+                                             unconditional=False))
         merged = {}
         for key in outs[0]:
             if outs[0][key] is None:
                 merged[key] = None
                 continue
-            cat = np.concatenate([o[key] for o in outs], axis=0)
+            cat = jnp.concatenate([o[key] for o in outs], axis=0)
             merged[key] = cat[:, 0]  # fold T=1
         if merged.get("z_input") is None:
-            merged["z_input"] = np.zeros(
-                (n, self.latent_size, self.latent_size, self.unet.in_channels), np.float32
+            merged["z_input"] = jnp.zeros(
+                (n, self.latent_size, self.latent_size, self.unet.in_channels), jnp.float32
             )
         if merged["ref_mask"].shape[-1] != 1:  # (N, 1, h, w) → (N, h, w, 1)
-            merged["ref_mask"] = np.moveaxis(merged["ref_mask"], 1, -1)
+            merged["ref_mask"] = jnp.moveaxis(merged["ref_mask"], 1, -1)
         return merged
 
     # ---------------- denoiser ----------------
