@@ -197,8 +197,29 @@ class MMDM:
             # UNet leaves on the relayed TPU; measured round 3)
             return jax.device_put(jax.tree.map(mk, shapes))
 
-        unet_params = host_init(unet_shapes)
-        vae_params = host_init(vae_shapes)
+        if ckpt_path is None:
+            # random-weights mode (tests/benches): materialise the params ON
+            # DEVICE with one jitted program — pushing ~3.4 GB of host-drawn
+            # fp32 through the TPU tunnel took minutes; a compiled
+            # RNG-normal per leaf takes none (same init distribution, not
+            # the same bits as host_init — nothing depends on which)
+            def dev_init(shapes, seed):
+                def mk(path_rng, s):
+                    if len(s.shape) <= 1:
+                        return jnp.zeros(s.shape, s.dtype)
+                    return (0.02 * jax.random.normal(path_rng, s.shape)
+                            ).astype(s.dtype)
+                leaves, treedef = jax.tree.flatten(shapes)
+                keys = list(jax.random.split(jax.random.PRNGKey(seed),
+                                             len(leaves)))
+                return jax.tree.unflatten(
+                    treedef, [mk(k, s) for k, s in zip(keys, leaves)])
+
+            unet_params = jax.jit(partial(dev_init, unet_shapes))(0)
+            vae_params = jax.jit(partial(dev_init, vae_shapes))(1)
+        else:
+            unet_params = host_init(unet_shapes)
+            vae_params = host_init(vae_shapes)
 
         if ckpt_path is not None:
             from cap4d_tpu.mmdm.convert import load_mmdm_checkpoint
