@@ -105,6 +105,7 @@ def run_generation(
         )
     if not config_dump.exists():
         raise FileNotFoundError(f"missing model config {config_dump}")
+    t_model = time.perf_counter()
     model = MMDM.from_config(
         config_dump,
         ckpt_path=ckpt_dir if has_weights else None,
@@ -113,8 +114,10 @@ def run_generation(
     )
     if not has_weights:
         print("WARNING: running with RANDOM weights (smoke-test mode)")
+    print(f"Timing: model load/init {time.perf_counter() - t_model:.1f}s")
 
     # --- data ---
+    t_data = time.perf_counter()
     print(f"Loading reference dataset from {reference_data_path}")
     flame_model = load_cap4d_flame_model(
         flame_asset_dir, n_shape_params=150, n_expr_params=65, add_mouth=True
@@ -139,11 +142,16 @@ def run_generation(
     )
 
     # --- conditioning banks ---
+    print(f"Timing: datasets + frame sets {time.perf_counter() - t_data:.1f}s")
+    t_banks = time.perf_counter()
     rng, enc_rng = jax.random.split(rng)
     print("Encoding reference images + building conditioning banks")
     z_ref = model.encode_images(ref_set.images, enc_rng)
     ref_cond = model.prepare_conditioning(ref_set.cond_batch(), z=z_ref)
     gen_cond = model.prepare_conditioning(gen_set.cond_batch())
+    jax.block_until_ready(gen_cond["pos_enc"])
+    print(f"Timing: encode + conditioning banks "
+          f"{time.perf_counter() - t_banks:.1f}s")
 
     save_flame_params(ref_set.flame_items, out_ref)
     save_flame_params(gen_set.flame_items, out_gen)
