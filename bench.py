@@ -163,7 +163,15 @@ def build_fit_step(res=512):
     from cap4d_tpu.avatar.scene import load_cap4d_dataset
     from cap4d_tpu.avatar.trainer import AvatarTrainer
     root = Path(tempfile.mkdtemp(prefix="bench_fit"))
-    flame_dir = make_asset_dir(root)
+    # Head-sized hull-triangulated sphere template (NOT the default gaussian
+    # blob: its random ~0.1-unit faces bind splats that project at a median
+    # 81 px radius / span>=9 tiles, and the side-3 windows then clipped
+    # 215,775 of 216,058 footprints — the round-2/3 fit numbers measured a
+    # silently truncated workload, exactly the flaw the render bench fixed
+    # in round 3). With a 0.09-radius head at 1.2 m and fx=2200 the head
+    # fills ~2/3 of the 512 frame like a reference crop, faces project at
+    # ~2-6 px, and bench_fit ASSERTS (near-)zero truncation below.
+    flame_dir = make_asset_dir(root, sphere_radius=0.09)
     # stage-1-format source dir at bench scale (4 frames, 512px)
     import cv2
 
@@ -179,8 +187,8 @@ def build_fit_step(res=512):
             "rot": rng.normal(scale=0.05, size=(1, 3)).astype(np.float32),
             "tra": np.zeros((1, 3), np.float32),
             "eye_rot": np.zeros((1, 3), np.float32),
-            "fx": np.full((1, 1), 1100.0, np.float32),
-            "fy": np.full((1, 1), 1100.0, np.float32),
+            "fx": np.full((1, 1), 2200.0, np.float32),
+            "fy": np.full((1, 1), 2200.0, np.float32),
             "cx": np.full((1, 1), res / 2, np.float32),
             "cy": np.full((1, 1), res / 2, np.float32),
             "extr": np.eye(4, dtype=np.float32)[None],
@@ -202,18 +210,41 @@ def build_fit_step(res=512):
     trainer = AvatarTrainer.create(scene, model_params, dict(OPT_PARAMS),
                                    flame_asset_dir=flame_dir)
     cam = scene.train_cameras[0]
-    step_fn = trainer._build_train_step(cam.width, cam.height, 1)
     gt = jnp.asarray(cam.image)
     mask = jnp.ones((cam.height, cam.width), jnp.float32)
     cam_in = {"rt": jnp.asarray(cam.rt), "K": jnp.asarray(cam.intrinsics)}
     lrs = {k: jnp.float32(v) for k, v in
            (("xyz", 5e-3), ("deform", 1e-5), ("neck", 1e-5))}
 
-    state = (trainer.gauss_params, trainer.deform_params, trainer.neck_weight,
-             trainer.gauss_aux, trainer.moments)
     fixed = (trainer.flame_bank, cam_in, gt, mask,
              jnp.asarray(cam.timestep), lrs)
     n_active = int(trainer.gauss_aux.n_active)  # before the step donates it
+
+    # honest-workload guard: probe one (undonated) step and grow the raster
+    # caps until footprints stop truncating, exactly like the real train
+    # loop does — a bench step must composite the full scene, not a clipped
+    # one. Tolerance matches the trainer's (0.1% of active splats).
+    for _ in range(4):
+        step_fn = trainer._build_train_step(cam.width, cam.height, 1)
+        # the step donates its state args — probe on copies so the
+        # trainer's own arrays survive a cap-growth rebuild
+        state = jax.tree.map(jnp.copy, (
+            trainer.gauss_params, trainer.deform_params,
+            trainer.neck_weight, trainer.gauss_aux, trainer.moments))
+        probe = step_fn(*state, *fixed, jnp.float32(0.0), jnp.float32(1.0))
+        losses = probe[5]
+        n_tr = int(losses["n_truncated"])
+        n_trd = int(losses["n_truncated_depth"])
+        if n_tr <= n_active // 1000 and n_trd == 0:
+            break
+        trainer.grow_raster_caps(footprint=n_tr > n_active // 1000,
+                                 depth=n_trd > 0)
+    else:
+        raise AssertionError(
+            f"bench fit scene still truncates after cap growth: "
+            f"n_truncated={n_tr} n_truncated_depth={n_trd}")
+    state = (trainer.gauss_params, trainer.deform_params, trainer.neck_weight,
+             trainer.gauss_aux, trainer.moments)
     return step_fn, fixed, state, n_active
 
 
