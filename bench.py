@@ -121,6 +121,10 @@ def bench_render(n=216_000, s=512, iters=100):
         np.array([[1100.0, 0, s / 2], [0, 1100.0, s / 2], [0, 0, 1]],
                  np.float32),
     )]
+    # forward-only render: the default 2×2 base covers the ~82% of splats
+    # that straddle into a 2×2 footprint with no budget or ext machinery
+    # (base_side=1 + a 7n/8 small budget measured 10.5 → 17 ms/frame here);
+    # the zero-truncation asserts below guard the mid/big budgets
     raster = make_raster("auto", s, s, 1, max_per_tile=512,
                          max_tiles_per_gaussian=16, max_valid_pairs=3 * n,
                          mid_budget=8192, big_budget=1024)

@@ -63,15 +63,17 @@ def make_raster(backend: str, width: int, height: int, sh_degree: int,
                 render_depth: bool = False, far: Optional[float] = None,
                 max_valid_pairs: Optional[int] = None,
                 mid_budget: Optional[int] = None,
-                big_budget: Optional[int] = None):
+                big_budget: Optional[int] = None,
+                small_budget: Optional[int] = None,
+                base_side: int = 2):
     """Partial rasterizer for one static signature.
 
     The pallas path has no per-tile compositing cap (max_per_tile is ignored:
     compositing is exact at any overlap depth); only the side² tile-footprint
     cap max_tiles_per_gaussian applies to both. max_valid_pairs bounds the
     pallas path's materialized sorted-pair prefix (overflow counted in
-    n_truncated_depth); mid/big_budget size the pallas footprint-expansion
-    levels (None keeps the rasterizer defaults)."""
+    n_truncated_depth); small/mid/big_budget size the pallas
+    footprint-expansion levels (None/0 = capacity-fraction autos)."""
     kw = dict(width=width, height=height, sh_degree=sh_degree,
               max_tiles_per_gaussian=max_tiles_per_gaussian,
               render_depth=render_depth)
@@ -82,7 +84,9 @@ def make_raster(backend: str, width: int, height: int, sh_degree: int,
             kw["mid_budget"] = mid_budget
         if big_budget is not None:
             kw["big_budget"] = big_budget
-        return partial(rasterize_gaussians_pallas,
+        if small_budget is not None:
+            kw["small_budget"] = small_budget
+        return partial(rasterize_gaussians_pallas, base_side=base_side,
                        max_valid_pairs=max_valid_pairs, **kw)
     return partial(rasterize_gaussians, max_per_tile=max_per_tile,
                    tile_chunk=64, **kw)
@@ -136,6 +140,14 @@ class AvatarTrainer:
     # pallas valid-prefix pair cap; 0 = auto (3x gaussian capacity). Doubled
     # by grow_raster_caps(depth=True) when n_truncated_depth fires.
     max_valid_pairs: int = 0
+    # pallas footprint-expansion budgets; 0 = capacity-fraction autos
+    # (gsplat_pallas). grow_raster_caps(footprint=True) doubles them (capped
+    # at capacity) alongside the window side: footprint truncation can mean
+    # either a too-small window or a too-small ext budget, and growing both
+    # converges without per-cause counters.
+    small_budget: int = 0
+    mid_budget: int = 0
+    big_budget: int = 0
     spatial_lr_scale: float = 1.0   # reference cameras_extent (scene.py:125)
 
     def _auto_valid_pairs(self) -> int:
@@ -152,6 +164,14 @@ class AvatarTrainer:
         if footprint:
             side = int(self.max_tiles_per_gaussian ** 0.5) + 2
             self.max_tiles_per_gaussian = side * side
+            gp = getattr(self, "gauss_params", None)
+            n = int(gp.xyz.shape[0]) if gp is not None else 0
+            for name, frac in (("small_budget", 5 / 8),
+                               ("mid_budget", 1 / 32),
+                               ("big_budget", 1 / 128)):
+                cur = getattr(self, name, 0) or int(n * frac)
+                if cur:
+                    setattr(self, name, min(2 * cur, n) if n else 2 * cur)
         if depth:
             self.max_per_tile = self.max_per_tile * 2
             auto = self._auto_valid_pairs()
@@ -382,6 +402,13 @@ class AvatarTrainer:
             self.raster_backend, width, height, sh_degree,
             self.max_per_tile, self.max_tiles_per_gaussian,
             max_valid_pairs=self._auto_valid_pairs(),
+            small_budget=self.small_budget or None,
+            mid_budget=self.mid_budget or None,
+            big_budget=self.big_budget or None,
+            # training: 1×1 base + budgeted 2×2 ext level — the VJP's
+            # m-sized unsort gather/sorts dominate the step, and inactive
+            # capacity padding stops paying 4 base slots (see gsplat_pallas)
+            base_side=1,
         )
 
         def loss_fn(trainable, aux, bank, cam, gt_image, mask, t, lambda_lpips):
@@ -550,7 +577,10 @@ class AvatarTrainer:
                 self.raster_backend, cam.width, cam.height, sh_deg,
                 self.max_per_tile, self.max_tiles_per_gaussian,
                 render_depth=compute_depth,
-                max_valid_pairs=self._auto_valid_pairs())
+                max_valid_pairs=self._auto_valid_pairs(),
+                small_budget=self.small_budget or None,
+                mid_budget=self.mid_budget or None,
+                big_budget=self.big_budget or None)
 
             backend = resolve_raster_backend(self.raster_backend)
 

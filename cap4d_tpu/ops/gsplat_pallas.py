@@ -383,14 +383,21 @@ def _gather_pairs_t(packed_cm, ext_ids, iperm, sorted_slot, counts):
     """(16, N) channel-major pack → (16, m_cap+CHUNK) channel-major sorted
     pairs — one LANE gather, no transposes.
 
-    Pair slots live in three window-major regions (see the expansion in
-    :func:`rasterize_gaussians_pallas`): the base region addresses ALL N
-    gaussians in ORIGINAL order (no permutation — a per-gaussian permutation
-    gather of N-sized channel arrays lowers onto the TPU scalar core,
-    profiled at ~1.7 ms per array), and the two small ext regions address
-    the span-compacted subset ``ext_ids``. The slot decodes to a column of
-    ``concat([pack, pack[:, ext_ids], pack[:, ext_ids[:E2]]], axis=1)``
-    with pure integer arithmetic.
+    Pair slots live in up to four window-major regions (see the expansion in
+    :func:`rasterize_gaussians_pallas`): the base_side×base_side base region
+    addresses ALL N gaussians in ORIGINAL order (no permutation — a
+    per-gaussian permutation gather of N-sized channel arrays lowers onto
+    the TPU scalar core, profiled at ~1.7 ms per array), and the ext regions
+    (2×2 / mid / big window complements) address nested prefixes of the
+    span-compacted subset ``ext_ids``.
+
+    The slot decodes to a column of ``concat([pack, pack[:, ext_ids]],
+    axis=1)`` with pure integer arithmetic (all ext levels are prefixes of
+    the same block, so ONE ext block suffices). A "direct" variant that
+    decodes the slot to its original pack column via a 1-row s32 lookup
+    through ``ext_ids`` — keeping the gather source at (16, n) — was
+    measured SLOWER on the fit bench (14.1 vs 15.2 it/s): the extra
+    m-sized index gather costs more than the larger-source gather saves.
 
     Everything stays CHANNEL-MAJOR on both sides of the VJP: (m,16)
     row-major intermediates are 8×-padded by the T(8,128) tiling and XLA
@@ -401,43 +408,34 @@ def _gather_pairs_t(packed_cm, ext_ids, iperm, sorted_slot, counts):
     entries with duplicate indices (TPU scalar core, measured 255 ms/step in
     round 2). Instead the backward un-sorts the cotangent with a lane
     GATHER (inverse permutation carried from the forward), reduces each
-    region's window axis densely — the base region lands directly in
-    original order — and folds the ext contributions back with two masked
-    lane gathers through ``iperm``. No scatter anywhere.
+    ext region's window axis densely, accumulates the (nested-prefix)
+    region sums in E_top-compacted space, and folds them back with ONE
+    masked lane gather through ``iperm``; the base region lands directly in
+    original order. No scatter anywhere. Lane-gather cost on TPU is
+    per-gathered-byte and per-index, so training configs use a 1×1 base
+    (L0=1): inactive capacity padding and span-1 splats then cost one pair
+    slot instead of four in the backward's m-sized unsort gather.
 
-    counts = (n, E1, E2, L0, L1, L2, m_cap): region gaussian counts,
-    window-offset counts, and the valid-prefix cap (all static)."""
-    m_cap = counts[6]
-    pe = _packed_ext(packed_cm, ext_ids, counts)
-    pe, idx = jax.lax.optimization_barrier(
-        (pe, _decode_slots(sorted_slot[:m_cap], counts)))
-    cols = jnp.take(pe, idx, axis=1)                     # (16, m_cap)
+    counts = (n, L0, E1, E2, E3, L1, L2, L3, m_cap): base offset count,
+    nested ext region counts (E1 ⊇ E2 ⊇ E3 when present — all prefixes of
+    ``ext_ids``; absent levels are 0), their window-offset counts, and the
+    valid-prefix cap (all static)."""
+    n, L0, E1, E2, E3, L1, L2, L3, m_cap = counts
+    slots = sorted_slot[:m_cap]
+    e_top = max(E1, E2, E3)
+    idx = slots % n if L0 > 1 else slots                  # base region
+    c = L0 * n
+    for Ek, Lk in ((E1, L1), (E2, L2), (E3, L3)):
+        if Ek and Lk:
+            idx = jnp.where(slots >= c, n + (slots - c) % Ek, idx)
+            c += Lk * Ek
+    pe = (jnp.concatenate(
+        [packed_cm, jnp.take(packed_cm, ext_ids, axis=1)], axis=1)
+        if e_top else packed_cm)
+    src, idx = jax.lax.optimization_barrier((pe, idx))
+    cols = jnp.take(src, idx, axis=1)                    # (16, m_cap)
     return jnp.concatenate(
         [cols, jnp.zeros((NCH, CHUNK), packed_cm.dtype)], axis=1)
-
-
-def _packed_ext(packed_cm, ext_ids, counts):
-    n, E1, E2, *_ = counts
-    parts = [packed_cm]
-    if E1:
-        ext1 = jnp.take(packed_cm, ext_ids, axis=1)      # (16, E1)
-        parts.append(ext1)
-        if E2:
-            parts.append(ext1[:, :E2])
-    return jnp.concatenate(parts, axis=1) if len(parts) > 1 else packed_cm
-
-
-def _decode_slots(slots, counts):
-    """Pair slot → column of the extended pack (region-wise % count)."""
-    n, E1, E2, L0, L1, L2 = counts[:6]
-    idx = slots % n                                       # base region
-    c0 = L0 * n
-    if E1:
-        idx = jnp.where(slots >= c0, n + (slots - c0) % E1, idx)
-    c1 = c0 + L1 * E1
-    if E2:
-        idx = jnp.where(slots >= c1, n + E1 + (slots - c1) % E2, idx)
-    return idx
 
 
 def _gather_pairs_t_fwd(packed_cm, ext_ids, iperm, sorted_slot, counts):
@@ -453,7 +451,7 @@ def _gather_pairs_t_fwd(packed_cm, ext_ids, iperm, sorted_slot, counts):
 
 def _gather_pairs_t_bwd(counts, res, g):
     iperm, inv = res
-    n, E1, E2, L0, L1, L2, m_cap = counts
+    n, L0, E1, E2, E3, L1, L2, L3, m_cap = counts
     # pairs past the valid-prefix cap carry zero gradient (never composited):
     # pad one zero column and clamp the inverse permutation
     g_cm = jnp.concatenate(
@@ -462,19 +460,23 @@ def _gather_pairs_t_bwd(counts, res, g):
     sel = jnp.where(inv < m_cap, inv, m_cap)
     u = jnp.take(g_cm, sel, axis=1)                       # (16, m) lane gather
     u = jax.lax.optimization_barrier(u)
-    c0 = L0 * n
-    d = u[:, :c0].reshape(NCH, L0, n).sum(axis=1)         # (16, n) orig order
-    if E1:
-        c1 = c0 + L1 * E1
-        dm = u[:, c0:c1].reshape(NCH, L1, E1).sum(axis=1)
-        dm = jnp.concatenate([dm, jnp.zeros((NCH, 1), dm.dtype)], axis=1)
-        sel1 = jnp.where(iperm < E1, iperm, E1)
-        d = d + jnp.take(dm, sel1, axis=1)
-        if E2:
-            db = u[:, c1:].reshape(NCH, L2, E2).sum(axis=1)
-            db = jnp.concatenate([db, jnp.zeros((NCH, 1), db.dtype)], axis=1)
-            sel2 = jnp.where(iperm < E2, iperm, E2)
-            d = d + jnp.take(db, sel2, axis=1)
+    d = (u[:, :L0 * n].reshape(NCH, L0, n).sum(axis=1) if L0 > 1
+         else u[:, :n])                                   # base: orig order
+    e_top = max(E1, E2, E3)
+    if e_top:
+        # window-reduce each ext region, accumulate in compacted space
+        # (regions are nested prefixes), then ONE fold gather through iperm
+        c = L0 * n
+        fold = jnp.zeros((NCH, e_top), u.dtype)
+        for Ek, Lk in ((E1, L1), (E2, L2), (E3, L3)):
+            if Ek and Lk:
+                dk = u[:, c:c + Lk * Ek].reshape(NCH, Lk, Ek).sum(axis=1)
+                fold = fold.at[:, :Ek].add(dk) if Ek < e_top else fold + dk
+                c += Lk * Ek
+        fold = jnp.concatenate(
+            [fold, jnp.zeros((NCH, 1), fold.dtype)], axis=1)
+        sel1 = jnp.where(iperm < e_top, iperm, e_top)
+        d = d + jnp.take(fold, sel1, axis=1)
     return d, None, None, None
 
 
@@ -553,8 +555,8 @@ def _make_composite(n_tiles: int, tiles_x: int, m_padded: int, interpret: bool):
 
 @functools.partial(jax.jit, static_argnames=(
     "width", "height", "sh_degree", "max_tiles_per_gaussian", "render_depth",
-    "big_tiles_per_gaussian", "big_budget", "mid_budget", "max_valid_pairs",
-    "interpret"))
+    "big_tiles_per_gaussian", "big_budget", "mid_budget", "small_budget",
+    "base_side", "max_valid_pairs", "interpret"))
 def rasterize_gaussians_pallas(
     means3d: jnp.ndarray,     # (N, 3) world
     quats: jnp.ndarray,       # (N, 4) wxyz
@@ -574,8 +576,10 @@ def rasterize_gaussians_pallas(
     means2d_offset: Optional[jnp.ndarray] = None,
     mask: Optional[jnp.ndarray] = None,
     big_tiles_per_gaussian: int = 49,
-    big_budget: int = 8192,
-    mid_budget: int = 32768,
+    big_budget: int = 0,
+    mid_budget: int = 0,
+    small_budget: int = 0,
+    base_side: int = 2,
     max_valid_pairs: Optional[int] = None,
     channels: Optional[Dict[str, tuple]] = None,
     interpret: bool = False,
@@ -584,14 +588,27 @@ def rasterize_gaussians_pallas(
     minus the per-tile cap (`max_per_tile` does not exist here: compositing
     is exact for any overlap depth).
 
-    Footprint handling is three-level and budgeted by span rank: every
-    gaussian gets a 2×2 base window (exact for span ≤ 2 — the vast majority
-    after densification), the `mid_budget` largest-span gaussians beyond
-    that get a side×side (max_tiles_per_gaussian) window, and the
-    `big_budget` largest a big_side×big_side window (a handful of large
-    background splats would otherwise force the quadratically bigger window,
-    and a recompile, onto all N). Only splats whose span exceeds their
-    rank-assigned window are clipped, reported via n_truncated."""
+    Footprint handling is up-to-four-level and budgeted by span rank: every
+    gaussian gets a base_side×base_side base window, the `small_budget`
+    largest-span gaussians beyond that get the 2×2 complement (only when
+    base_side == 1), the `mid_budget` next a side×side
+    (max_tiles_per_gaussian) window, and the `big_budget` largest a
+    big_side×big_side window (a handful of large background splats would
+    otherwise force the quadratically bigger window, and a recompile, onto
+    all N). Budgets of 0 mean auto (5n/8, n/32, n/128 — sized so an
+    all-active densified scene of mostly span-2 splats fits with margin).
+    Only splats whose span exceeds their rank-assigned window are clipped,
+    reported via n_truncated.
+
+    base_side picks the slot-count / gather-overhead trade per path:
+      * 2 (default): span ≤ 2 is exact with NO budget — best for
+        forward-only rendering of dense all-active scenes, where the extra
+        base slots are cheap (one sort key each) and ext machinery is tiny.
+      * 1: training. The VJP's unsort gather and the two m-sized sorts pay
+        ~12 ns per window SLOT, so inactive capacity padding and span-1
+        splats emitting 4 base slots dominate the fit step; a 1×1 base with
+        a budgeted 2×2 ext level measured 1.84M → 1.1M slots and
+        13.5 → 15.2 fit it/s on the honest fit bench."""
     if channels is not None:
         # channel-tuple inputs (world_gaussians_pack): skip all minor-dim
         # slicing; quat channels must already be unit
@@ -639,18 +656,22 @@ def rasterize_gaussians_pallas(
     ], axis=0), jnp.zeros((NCH - 10, n), jnp.float32)], axis=0)  # (16, N)
 
     # ---- budgeted complement-window pair expansion + ONE 1-key sort ----
-    # Every gaussian emits a 2×2 BASE window in ORIGINAL order (covers
-    # span ≤ 2 — the vast majority of densified splats — with no
-    # per-gaussian permutation: N-sized permutation gathers lower onto the
-    # TPU scalar core). The `mid_budget` + `big_budget` largest-span
-    # gaussians, compacted by one N-sort, additionally emit the COMPLEMENT
-    # offsets of a side×side / big_side×big_side window (offset sets are
-    # disjoint, so base ∪ mid-ext ∪ big-ext tiles a full window). This cuts
-    # the pair count ~2.3× vs round 2's uniform side² expansion — and the
-    # pair sort carries ONE int32 key (tile << rank_bits | exact depth rank)
-    # + ONE value (the pair slot, which decodes to its gaussian by integer
-    # arithmetic) instead of round 2's 2-key/4-array sort (~45 ms/step at
-    # 3.5M pairs).
+    # Every gaussian emits a base_side×base_side BASE window in ORIGINAL
+    # order (no per-gaussian permutation: N-sized permutation gathers lower
+    # onto the TPU scalar core). The `small_budget` (base_side 1 only) +
+    # `mid_budget` + `big_budget` largest-span gaussians, compacted by one
+    # N-sort into nested prefixes, additionally emit the COMPLEMENT offsets
+    # of a 2×2 / side×side / big_side×big_side window (offset sets are
+    # disjoint, so base ∪ ext levels tile a full window). A 1×1 base
+    # matters for TRAINING because every pair SLOT — dead or alive — costs
+    # sort keys and ~12 ns/column in the VJP's unsort gather: inactive
+    # capacity padding and span-1 splats stop paying a 4-slot 2×2 window
+    # (measured 1.84M → 1.1M slots on the honest fit bench); for
+    # forward-only rendering of dense all-active scenes the 2×2 base is
+    # faster (no E1-sized ext machinery). The pair sort carries ONE int32
+    # key (tile << rank_bits | exact depth rank) + ONE value (the pair
+    # slot, which decodes to its gaussian by integer arithmetic) instead
+    # of round 2's 2-key/4-array sort (~45 ms/step at 3.5M pairs).
     tiles_x = (width + TILE - 1) // TILE
     tiles_y = (height + TILE - 1) // TILE
     n_tiles = tiles_x * tiles_y
@@ -674,22 +695,36 @@ def rasterize_gaussians_pallas(
     span = jnp.maximum(tx1 - tx0, ty1 - ty0) + 1
 
     big_side = int(big_tiles_per_gaussian ** 0.5)
-    base_side = min(2, side)
-    use_mid = side > base_side
-    use_big = big_side > max(side, base_side) and big_budget > 0
-    E2 = min(big_budget, n) if use_big else 0
-    E1 = min(E2 + (mid_budget if use_mid else 0), n)
-    if not use_mid:
-        E1 = E2
+    base = max(1, min(base_side, side, 2))
+    use_small = base == 1 and max(side, big_side) >= 2
+    prev_small = 2 if (use_small or base >= 2) else 1
+    use_mid = side > prev_small
+    prev_mid = side if use_mid else prev_small
+    use_big = big_side > prev_mid
+
+    def _auto(budget, frac, quantum):
+        # 0 = auto: a capacity fraction rounded up to a recompile-stable
+        # quantum (fractions sized from the honest fit-bench span census:
+        # ~90% of active splats straddle into a 2×2, <0.2% past it)
+        if budget:
+            return budget
+        return max(quantum, -(-int(n * frac) // quantum) * quantum)
+
+    E3 = min(_auto(big_budget, 1 / 128, 256), n) if use_big else 0
+    E2 = min(E3 + _auto(mid_budget, 1 / 32, 512), n) if use_mid else 0
+    E1 = (min(max(E2, E3) + _auto(small_budget, 5 / 8, 512), n)
+          if use_small else 0)
 
     def offs(sd, inner):
         return [(i, j) for i in range(sd) for j in range(sd)
                 if not (i < inner and j < inner)]
 
-    base_offs = offs(base_side, 0)
-    mid_offs = offs(side, base_side) if use_mid else []
-    big_offs = offs(big_side, side if use_mid else base_side) if use_big else []
-    L0, L1, L2 = len(base_offs), len(mid_offs), len(big_offs)
+    base_offs = offs(base, 0)
+    small_offs = offs(2, base) if use_small else []
+    mid_offs = offs(side, prev_small) if use_mid else []
+    big_offs = offs(big_side, prev_mid) if use_big else []
+    L0 = len(base_offs)
+    L1, L2, L3 = len(small_offs), len(mid_offs), len(big_offs)
 
     # exact global depth order as an integer rank (no quantization): two
     # N-sorts; ties broken deterministically by gaussian index
@@ -702,13 +737,19 @@ def rasterize_gaussians_pallas(
 
     # compact the largest-span gaussians: level desc, span desc, index asc
     span_eff = jnp.where(valid, span, 1)
-    if E1:
-        level = ((span_eff > base_side).astype(jnp.int32)
-                 + ((span_eff > side).astype(jnp.int32) if use_mid else 0))
+    e_top = max(E1, E2, E3)
+    if e_top:
+        level = jnp.zeros_like(span_eff)
+        if use_small:
+            level += (span_eff > base).astype(jnp.int32)
+        if use_mid:
+            level += (span_eff > prev_small).astype(jnp.int32)
+        if use_big:
+            level += (span_eff > prev_mid).astype(jnp.int32)
         ckey = -(level * 4096 + jnp.minimum(span_eff, 4095))
         _, perm = jax.lax.sort_key_val(ckey, iota_n)
         _, iperm = jax.lax.sort_key_val(perm, iota_n)
-        ext_ids = perm[:E1]
+        ext_ids = perm[:e_top]
     else:
         iperm = iota_n
         ext_ids = iota_n[:0]
@@ -747,28 +788,34 @@ def rasterize_gaussians_pallas(
     # base region: original order, original 1-D channel vectors — no gather
     key_parts = [window_keys(base_offs, tx0, ty0, tx1, ty1,
                              rank, valid, mean_x, mean_y, r2_cut).reshape(-1)]
-    if E1:
-        wp_ext = win_pack[ext_ids]                        # (E1, 10) row gather
+    if e_top:
+        wp_ext = win_pack[ext_ids]                      # (E_top, 10) row gather
         ext_ch = (tuple(wp_ext[:, i] for i in range(5))
                   + (wp_ext[:, 5] > 0,)
                   + tuple(jax.lax.bitcast_convert_type(wp_ext[:, i],
                                                        jnp.float32)
                           for i in (6, 7, 8)))
-        if L1:
-            key_parts.append(window_keys(mid_offs, *ext_ch).reshape(-1))
+        if E1:
+            key_parts.append(window_keys(
+                small_offs, *(c[:E1] for c in ext_ch)).reshape(-1))
         if E2:
             key_parts.append(window_keys(
-                big_offs, *(c[:E2] for c in ext_ch)).reshape(-1))
+                mid_offs, *(c[:E2] for c in ext_ch)).reshape(-1))
+        if E3:
+            key_parts.append(window_keys(
+                big_offs, *(c[:E3] for c in ext_ch)).reshape(-1))
     key_all = jnp.concatenate(key_parts) if len(key_parts) > 1 else key_parts[0]
     m_pairs = key_all.shape[0]
     sorted_key, sorted_slot = jax.lax.sort_key_val(
         key_all, jax.lax.iota(jnp.int32, m_pairs))
 
     # a splat whose span exceeds its rank-assigned window is clipped
-    in_big = (iperm < E2) if E2 else jnp.zeros_like(valid)
-    in_mid = ((iperm < E1) & ~in_big) if (E1 and use_mid) else jnp.zeros_like(valid)
+    in_big = (iperm < E3) if E3 else jnp.zeros_like(valid)
+    in_mid = ((iperm < E2) & ~in_big) if E2 else jnp.zeros_like(valid)
+    in_small = ((iperm < E1) & ~in_big & ~in_mid) if E1 else jnp.zeros_like(valid)
     assigned = jnp.where(in_big, big_side,
-                         jnp.where(in_mid, side, base_side))
+                         jnp.where(in_mid, side,
+                                   jnp.where(in_small, 2, base)))
     n_truncated = jnp.sum(valid & (span > assigned))
 
     # ---- per-tile segment table + channel-major sorted pair array ----
@@ -791,7 +838,7 @@ def rasterize_gaussians_pallas(
         m_cap = m_pairs
         n_overflow = jnp.zeros((), jnp.int32)
 
-    counts = (n, E1, E2, L0, L1, L2, m_cap)
+    counts = (n, L0, E1, E2, E3, L1, L2, L3, m_cap)
     pairs_t = _gather_pairs_t(packed_cm, ext_ids, iperm, sorted_slot, counts)
 
     composite = _make_composite(n_tiles, tiles_x, m_cap + CHUNK, interpret)

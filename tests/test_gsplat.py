@@ -172,9 +172,16 @@ def test_trainer_grow_raster_caps():
     t = AvatarTrainer.__new__(AvatarTrainer)
     t.max_per_tile = 192
     t.max_tiles_per_gaussian = 9
+    t.small_budget = 0
+    t.mid_budget = 1024
+    t.big_budget = 0
     t._render_fns = None
     t.grow_raster_caps(footprint=True, depth=True)
     assert t.max_tiles_per_gaussian == 25 and t.max_per_tile == 384
+    # explicit footprint budgets double on growth; autos (0, with no
+    # gauss_params on this bare instance) stay auto
+    assert t.mid_budget == 2048
+    assert t.small_budget == 0 and t.big_budget == 0
 
 
 def test_depth_mode_and_far_clip():

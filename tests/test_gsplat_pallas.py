@@ -137,6 +137,46 @@ def test_pallas_two_level_footprint_expansion():
     assert int(out2["n_truncated"]) > 0
 
 
+def test_pallas_small_budget_level():
+    """Four-level footprint: span-2 splats ride the budgeted 2×2-complement
+    ext level (base is 1×1). Exact when the budget covers them; counted in
+    n_truncated when it overflows."""
+    n = 60
+    rng = np.random.default_rng(11)
+    means = rng.uniform(-0.25, 0.25, size=(n, 3)).astype(np.float32)
+    means[:, 2] += 3.0
+    quats = np.tile(np.array([1.0, 0, 0, 0], np.float32), (n, 1))
+    # ~0.06 world @ z≈3, f=100 → ~6 px radius: mostly span-2 footprints
+    scales = np.full((n, 3), 0.06, np.float32)
+    opac = rng.uniform(0.3, 0.9, size=(n,)).astype(np.float32)
+    sh = np.zeros((n, 1, 3), np.float32)
+    sh[:, 0] = rng.uniform(-0.5, 0.5, size=(n, 3))
+    viewmat = np.eye(4, dtype=np.float32)
+    K = np.array([[100.0, 0, 32], [0, 100.0, 32], [0, 0, 1]], np.float32)
+    common = dict(sh_degree=0, max_tiles_per_gaussian=9, base_side=1,
+                  interpret=True)
+
+    out = rasterize_gaussians_pallas(
+        jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+        jnp.asarray(opac), jnp.asarray(sh), jnp.asarray(viewmat),
+        jnp.asarray(K), 64, 64, small_budget=n, **common)
+    assert int(out["n_truncated"]) == 0
+    bg = np.ones(3, np.float32)
+    ref_img, ref_alpha = numpy_render(
+        means, quats, scales, opac, sh, viewmat, K, 64, 64, 0, bg)
+    np.testing.assert_allclose(np.asarray(out["render"]), ref_img, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out["alpha"]), ref_alpha, atol=2e-3)
+
+    # small budget of 1: every other span>=2 splat is clipped to its 1×1
+    # base window — counted, not silent
+    out2 = rasterize_gaussians_pallas(
+        jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+        jnp.asarray(opac), jnp.asarray(sh), jnp.asarray(viewmat),
+        jnp.asarray(K), 64, 64, small_budget=1, mid_budget=1, big_budget=1,
+        **common)
+    assert int(out2["n_truncated"]) > 0
+
+
 def test_pallas_depth_far_clip_and_mask():
     means, quats, scales, opac, sh, viewmat, K = _scene(n=20, seed=4)
     out = rasterize_gaussians_pallas(
