@@ -156,7 +156,16 @@ class AvatarTrainer:
             gp = getattr(self, "gauss_params", None)
             if gp is None:
                 return 0
-            cap = 3 * int(gp.xyz.shape[0])
+            # size by the ACTIVE count, not capacity: the fwd pair gather and
+            # the kernel pair array are m_cap-sized whether or not the slots
+            # hold valid pairs, and inactive capacity padding emits none.
+            # Rounded up to 64k so step rebuilds after ordinary densification
+            # reuse the compiled shape; undersizing is self-healing (the
+            # n_truncated_depth counter doubles the cap and recompiles, both
+            # in the train loop and in bench.build_fit_step's probe).
+            aux = getattr(self, "gauss_aux", None)
+            n = int(aux.n_active) if aux is not None else int(gp.xyz.shape[0])
+            cap = min(-(-3 * n // 65536) * 65536, 3 * int(gp.xyz.shape[0]))
         return cap
 
     def grow_raster_caps(self, footprint: bool, depth: bool) -> None:
