@@ -100,11 +100,52 @@ def render_sequence(
     if n_max_frames:
         cams = cams[:n_max_frames]
 
+    # gaussian attributes are CONSTANT across the sequence — fetch once
+    # (PlyWriter stores them on the first update; re-fetching ~80 MB of
+    # device params per frame dominated the export path)
+    attrs = None
+    if writer is not None:
+        act = np.asarray(trainer.gauss_aux.active)  # export active slots only
+        attrs = {
+            "xyz": np.asarray(trainer.gauss_params.xyz)[act],
+            "features_dc": np.asarray(trainer.gauss_params.features_dc)[act],
+            "features_rest": np.asarray(trainer.gauss_params.features_rest)[act],
+            "opacity": np.asarray(trainer.gauss_params.opacity)[act],
+            "scaling": np.asarray(trainer.gauss_params.scaling)[act],
+            "rotation": np.asarray(trainer.gauss_params.rotation)[act],
+            "binding": np.asarray(trainer.gauss_aux.binding)[act],
+        }
+        remesh_faces = np.asarray(trainer.uv.remesh_faces)
+
+    # pipelined render loop: keep PIPELINE frames dispatched ahead (JAX
+    # dispatch is async — only the consuming fetch synchronises), file
+    # writes threaded like the reference (animate.py:127-164). On a raster
+    # cap raise the in-flight frames were rendered with the old caps, so
+    # the pipeline is flushed and re-dispatched from the offending frame.
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    PIPELINE = 8
     total_truncated = 0
     warned_truncation = False
-    for i, cam in enumerate(cams):
-        out = trainer.render_camera(cam, cam.timestep, compute_depth=save_depth,
-                                    clip=True)
+    inflight = deque()
+    next_dispatch = 0
+    io_pool = ThreadPoolExecutor(max_workers=2)
+    io_futures = []
+
+    def dispatch(idx):
+        cam = cams[idx]
+        out = trainer.render_camera(cam, cam.timestep,
+                                    compute_depth=save_depth, clip=True)
+        mesh = trainer.mesh_at_timestep(cam.timestep) if writer is not None \
+            else None
+        inflight.append((idx, out, mesh))
+
+    while next_dispatch < len(cams) or inflight:
+        while next_dispatch < len(cams) and len(inflight) < PIPELINE:
+            dispatch(next_dispatch)
+            next_dispatch += 1
+        i, out, mesh = inflight.popleft()
         # inference-path truncation guard (mirrors the train loop,
         # train.py:219-244): a deep tile on the XLA fallback or a splat
         # beyond the footprint window would otherwise be clipped silently
@@ -120,38 +161,32 @@ def render_sequence(
                       f"raised (max_tiles_per_gaussian="
                       f"{trainer.max_tiles_per_gaussian}, max_per_tile="
                       f"{trainer.max_per_tile}), re-rendering")
-                out = trainer.render_camera(cam, cam.timestep,
-                                            compute_depth=save_depth, clip=True)
+                inflight.clear()           # rendered with the old caps
+                next_dispatch = i
+                continue
             elif not warned_truncation:
                 warned_truncation = True
                 print(f"[frame {i}] WARNING: {tr} splats clipped by raster "
                       f"caps (within tolerance or cap at ceiling); totals "
                       f"reported at the end")
         img = np.clip(np.asarray(out["render"]), 0, 1)
-        cv2.imwrite(str(frame_dir / f"{i:05d}.png"),
-                    (img[..., ::-1] * 255).astype(np.uint8))
+        img8 = (img[..., ::-1] * 255).astype(np.uint8)
+        io_futures.append(io_pool.submit(
+            cv2.imwrite, str(frame_dir / f"{i:05d}.png"), img8))
         if save_alpha:
-            cv2.imwrite(str(frame_dir / f"{i:05d}_alpha.png"),
-                        (np.asarray(out["alpha"]) * 255).astype(np.uint8))
+            a8 = (np.asarray(out["alpha"]) * 255).astype(np.uint8)
+            io_futures.append(io_pool.submit(
+                cv2.imwrite, str(frame_dir / f"{i:05d}_alpha.png"), a8))
         if save_depth and out.get("depth") is not None:
             np.save(frame_dir / f"{i:05d}_depth.npy", np.asarray(out["depth"]))
         if writer is not None:
-            mesh = trainer.mesh_at_timestep(cam.timestep)
-            act = np.asarray(trainer.gauss_aux.active)  # export active slots only
-            writer.update(
-                np.asarray(mesh.verts), np.asarray(trainer.uv.remesh_faces),
-                {
-                    "xyz": np.asarray(trainer.gauss_params.xyz)[act],
-                    "features_dc": np.asarray(trainer.gauss_params.features_dc)[act],
-                    "features_rest": np.asarray(trainer.gauss_params.features_rest)[act],
-                    "opacity": np.asarray(trainer.gauss_params.opacity)[act],
-                    "scaling": np.asarray(trainer.gauss_params.scaling)[act],
-                    "rotation": np.asarray(trainer.gauss_params.rotation)[act],
-                    "binding": np.asarray(trainer.gauss_aux.binding)[act],
-                },
-            )
+            writer.update(np.asarray(mesh.verts), remesh_faces, attrs)
         if (i + 1) % 10 == 0:
             print(f"rendered {i + 1}/{len(cams)} frames")
+
+    for f in io_futures:
+        f.result()  # surface any write error
+    io_pool.shutdown()
 
     if total_truncated:
         print(f"WARNING: {total_truncated} splat-truncation events across "

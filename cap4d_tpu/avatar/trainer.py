@@ -564,18 +564,16 @@ class AvatarTrainer:
         """Inference render of one camera (gsplat_renderer.py:20-86).
 
         The whole path (FLAME→deform→frames→splatting) is one cached jit per
-        (resolution, sh degree, depth) signature."""
+        (resolution, sh degree, depth, clip) signature. The far-plane clip
+        (animate.py:110-117 semantics: head center distance + 2.5 cm) is
+        computed IN-GRAPH from the posed mesh — a host-side computation here
+        would force a device sync per frame and serialise the async dispatch
+        pipeline the animation loop relies on."""
         far = 1e3
-        if clip:
-            mesh = self.mesh_at_timestep(timestep)
-            verts = mesh.verts
-            center = (verts.max(axis=0) + verts.min(axis=0)) / 2.0
-            cam_center = np.linalg.inv(np.asarray(cam.rt))[:3, 3]
-            far = float(np.linalg.norm(np.asarray(center) - cam_center) + 0.025)
         sh_deg = self.active_sh_degree if sh_degree is None else sh_degree
         if self._render_fns is None:
             object.__setattr__(self, "_render_fns", {})
-        key = (cam.width, cam.height, sh_deg, compute_depth)
+        key = (cam.width, cam.height, sh_deg, compute_depth, clip)
         if key not in self._render_fns:
             variant = self.variant
             cfg = self.config
@@ -596,6 +594,15 @@ class AvatarTrainer:
             def fn(gp, aux, dp, neck, bank, rt, K, t, far):
                 offset = jnp.zeros(3) if static_neck else neck[t]
                 mesh = variant.mesh_props(deform_net, dp, bank, t, offset)
+                if clip:
+                    verts = mesh.verts
+                    center = (jnp.max(verts, axis=0)
+                              + jnp.min(verts, axis=0)) / 2.0
+                    # rigid extrinsics: inv(rt)[:3,3] == -R^T t
+                    cam_pos = -jnp.matmul(
+                        rt[:3, :3].T, rt[:3, 3],
+                        precision=jax.lax.Precision.HIGHEST)
+                    far = jnp.linalg.norm(center - cam_pos) + 0.025
                 world = G.world_gaussians_pack(gp, aux, mesh.face_pack)
                 if backend == "pallas":
                     return raster(
