@@ -100,6 +100,26 @@ def render_sequence(
     if n_max_frames:
         cams = cams[:n_max_frames]
 
+    render_frame_loop(trainer, cams, frame_dir, writer=writer,
+                      save_alpha=save_alpha, save_depth=save_depth)
+
+    if writer is not None:
+        writer.save_ply(output_path / "exported_animation.ply")
+        print(f"Wrote {output_path / 'exported_animation.ply'}")
+    frames_to_mp4(frame_dir, output_path / "renders.mp4", fps)
+
+
+def render_frame_loop(trainer, cams, frame_dir: Path, writer=None,
+                      save_alpha: bool = False,
+                      save_depth: bool = False) -> int:
+    """Pipelined per-frame render/write loop shared by the FLAME and SMPL
+    animation CLIs; returns the total splat-truncation event count.
+
+    Reference semantics: per-frame render + threaded file writes
+    (animate.py:127-164) with the train loop's truncation guard
+    (train.py:219-244) on top."""
+    import cv2
+
     # gaussian attributes are CONSTANT across the sequence — fetch once
     # (PlyWriter stores them on the first update; re-fetching ~80 MB of
     # device params per frame dominated the export path)
@@ -191,10 +211,7 @@ def render_sequence(
     if total_truncated:
         print(f"WARNING: {total_truncated} splat-truncation events across "
               f"{len(cams)} frames (see n_truncated in the rasterizer docs)")
-    if writer is not None:
-        writer.save_ply(output_path / "exported_animation.ply")
-        print(f"Wrote {output_path / 'exported_animation.ply'}")
-    frames_to_mp4(frame_dir, output_path / "renders.mp4", fps)
+    return total_truncated
 
 
 def render_static(

@@ -12,7 +12,7 @@ from pathlib import Path
 
 import numpy as np
 
-from cap4d_tpu.avatar.animate import frames_to_mp4
+from cap4d_tpu.avatar.animate import frames_to_mp4, render_frame_loop
 from cap4d_tpu.avatar.export import PlyWriter
 from cap4d_tpu.avatar.trainer import AvatarTrainer, search_max_iteration
 from cap4d_tpu.mmdm.model import load_yaml
@@ -63,28 +63,8 @@ def render_sequence_smpl(
     cams = scene.tgt_cameras
     if n_max_frames:
         cams = cams[:n_max_frames]
-    for i, cam in enumerate(cams):
-        out = trainer.render_camera(cam, cam.timestep, clip=True)
-        img = np.clip(np.asarray(out["render"]), 0, 1)
-        cv2.imwrite(str(frame_dir / f"{i:05d}.png"),
-                    (img[..., ::-1] * 255).astype(np.uint8))
-        if writer is not None:
-            mesh = trainer.mesh_at_timestep(cam.timestep)
-            act = np.asarray(trainer.gauss_aux.active)
-            writer.update(
-                np.asarray(mesh.verts), np.asarray(trainer.uv.remesh_faces),
-                {
-                    "xyz": np.asarray(trainer.gauss_params.xyz)[act],
-                    "features_dc": np.asarray(trainer.gauss_params.features_dc)[act],
-                    "features_rest": np.asarray(trainer.gauss_params.features_rest)[act],
-                    "opacity": np.asarray(trainer.gauss_params.opacity)[act],
-                    "scaling": np.asarray(trainer.gauss_params.scaling)[act],
-                    "rotation": np.asarray(trainer.gauss_params.rotation)[act],
-                    "binding": np.asarray(trainer.gauss_aux.binding)[act],
-                },
-            )
-        if (i + 1) % 10 == 0:
-            print(f"rendered {i + 1}/{len(cams)} frames")
+    # shared pipelined loop (incl. the truncation guard + threaded writes)
+    render_frame_loop(trainer, cams, frame_dir, writer=writer)
 
     if writer is not None:
         writer.save_ply(output_path / "exported_animation.ply")
