@@ -34,15 +34,22 @@ from cap4d_tpu.mmdm.sampler import StochasticIOSampler
 
 
 def save_images(images: np.ndarray, out_dir: Path) -> None:
-    """(N, H, W, 3) in [-1,1] → images/%05d.png"""
+    """(N, H, W, 3) in [-1,1] float or [0,255] uint8 → images/%05d.png"""
     import cv2
+    from concurrent.futures import ThreadPoolExecutor
 
     img_dir = out_dir / "images"
     img_dir.mkdir(exist_ok=True, parents=True)
-    for i, img in enumerate(images):
-        arr = (np.clip((img + 1.0) / 2.0, 0, 1) * 255).astype(np.uint8)
-        ok = cv2.imwrite(str(img_dir / f"{i:05d}.png"), arr[..., ::-1])
+
+    def write(i, img):
+        if img.dtype != np.uint8:
+            img = (np.clip((img + 1.0) / 2.0, 0, 1) * 255).astype(np.uint8)
+        ok = cv2.imwrite(str(img_dir / f"{i:05d}.png"), img[..., ::-1])
         assert ok, f"failed to save image {i}"
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        for f in [pool.submit(write, i, img) for i, img in enumerate(images)]:
+            f.result()
 
 
 def save_flame_params(flame_items, out_dir: Path) -> None:
@@ -185,9 +192,13 @@ def run_generation(
 
     t_decode = time.perf_counter()
     print(f"Saving reference images to {out_ref}/images")
-    save_images(model.decode_latents(jnp.asarray(ref_cond["z_input"])), out_ref)
+    save_images(model.decode_latents(jnp.asarray(ref_cond["z_input"]),
+                                     as_uint8=True), out_ref)
     print(f"Saving generated images to {out_gen}/images")
-    imgs = model.decode_latents(z_gen)
+    # uint8 on device: 4× fewer fetched bytes, and decode_latents dispatches
+    # every chunk before fetching (the fetch-per-chunk loop serialised the
+    # decode phase at 17-104 s for 84 frames through the tunnel)
+    imgs = model.decode_latents(z_gen, as_uint8=True)
     save_images(imgs, out_gen)
     decode_s = time.perf_counter() - t_decode
     print(f"Timing: sampler {sampler_s:.1f}s (incl. jit compile), "

@@ -72,6 +72,13 @@ def _jitted_vae(vae, method: str):
     return jax.jit(f)
 
 
+@jax.jit
+def _u8_post(x):
+    """[-1,1] float image → uint8 [0,255] on device (same truncating
+    conversion as the host save path: clip → ×255 → floor-cast)."""
+    return (jnp.clip((x + 1.0) / 2.0, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+
 @dataclass
 class MMDM:
     """The morphable multi-view diffusion model (inference-ready bundle)."""
@@ -263,18 +270,30 @@ class MMDM:
             outs.append(enc(self.vae_params, x, sub)[:n])
         return jnp.concatenate(outs, axis=0) * self.scale_factor
 
-    def decode_latents(self, z: jnp.ndarray, chunk: int = 8) -> np.ndarray:
-        """Scaled latents (N, h, w, 4) → images (N, H, W, 3) in [-1,1]."""
+    def decode_latents(self, z: jnp.ndarray, chunk: int = 8,
+                       as_uint8: bool = False) -> np.ndarray:
+        """Scaled latents (N, h, w, 4) → images (N, H, W, 3) in [-1,1]
+        (or uint8 [0,255] with ``as_uint8``).
+
+        All chunks are DISPATCHED before any is fetched: the device decodes
+        the whole batch back-to-back while the host streams the earlier
+        results out (a fetch-per-chunk loop serialised decode and transfer —
+        the 84-frame multi-ref decode phase measured 17-104 s of mostly
+        transfer wait). ``as_uint8`` converts on device, cutting the
+        fetched bytes 4× for image-saving callers."""
         dec = _jitted_vae(self.vae, "decode")
-        outs = []
+        post = _u8_post if as_uint8 else None
+        pend = []
         for i in range(0, z.shape[0], chunk):
             x = jnp.asarray(z[i : i + chunk]) / self.scale_factor
             n = x.shape[0]
             if n < chunk:
                 x = jnp.concatenate(
                     [x, jnp.zeros((chunk - n, *x.shape[1:]), x.dtype)])
-            outs.append(np.asarray(dec(self.vae_params, x))[:n])
-        return np.concatenate(outs, axis=0)
+            out = dec(self.vae_params, x)
+            pend.append((post(out) if post else out, n))
+        return np.concatenate(
+            [np.asarray(o)[:n] for o, n in pend], axis=0)
 
     # ---------------- conditioning ----------------
 
