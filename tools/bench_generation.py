@@ -151,6 +151,7 @@ def main():
                    "weight-independent)",
         "reference_baseline": "\"This will take hours\" on all visible CUDA "
                               "devices (reference README.md:76)",
+        "tool": "tools/bench_generation.py",
     }
     Path(args.out_json).parent.mkdir(parents=True, exist_ok=True)
     with open(args.out_json, "w") as fh:
