@@ -77,8 +77,13 @@ def render_sequence(
     export_animation: bool = True,
     compress_ply: bool = False,
     n_max_frames: Optional[int] = None,
+    dp_frames: int = 1,
 ):
-    """Drive the avatar through a target sequence (animate.py:77-171)."""
+    """Drive the avatar through a target sequence (animate.py:77-171).
+
+    ``dp_frames`` > 1 (or 0 = all local devices) renders that many frames
+    per dispatch, one per device of a ``("dp",)`` mesh — see
+    render_frame_loop."""
     import cv2
 
     model_path = Path(model_path)
@@ -100,8 +105,19 @@ def render_sequence(
     if n_max_frames:
         cams = cams[:n_max_frames]
 
+    frame_mesh = None
+    if dp_frames != 1:
+        import jax
+
+        from cap4d_tpu.parallel.mesh import dp_mesh
+        n = dp_frames if dp_frames > 0 else len(jax.devices())
+        if n > 1:
+            frame_mesh = dp_mesh(n)
+            print(f"Rendering {n} frames per dispatch over a ({n},) dp mesh")
+
     render_frame_loop(trainer, cams, frame_dir, writer=writer,
-                      save_alpha=save_alpha, save_depth=save_depth)
+                      save_alpha=save_alpha, save_depth=save_depth,
+                      frame_mesh=frame_mesh)
 
     if writer is not None:
         writer.save_ply(output_path / "exported_animation.ply")
@@ -109,15 +125,41 @@ def render_sequence(
     frames_to_mp4(frame_dir, output_path / "renders.mp4", fps)
 
 
+class _BatchFrameView:
+    """Dict-like view of one frame inside a render_cameras_dp batch.
+
+    Fetches each output key's WHOLE batch from device once, on first access
+    (np.asarray is the only synchronising call on the axon platform), then
+    serves per-frame slices — so a D-frame batch costs one transfer per key,
+    not one per frame."""
+
+    def __init__(self, batch, j, cache):
+        self._batch, self._j, self._cache = batch, j, cache
+
+    def __getitem__(self, k):
+        if k not in self._cache:
+            self._cache[k] = np.asarray(self._batch[k])
+        return self._cache[k][self._j]
+
+    def get(self, k, default=None):
+        return self[k] if k in self._batch else default
+
+
 def render_frame_loop(trainer, cams, frame_dir: Path, writer=None,
                       save_alpha: bool = False,
-                      save_depth: bool = False) -> int:
+                      save_depth: bool = False, frame_mesh=None) -> int:
     """Pipelined per-frame render/write loop shared by the FLAME and SMPL
     animation CLIs; returns the total splat-truncation event count.
 
     Reference semantics: per-frame render + threaded file writes
     (animate.py:127-164) with the train loop's truncation guard
-    (train.py:219-244) on top."""
+    (train.py:219-244) on top.
+
+    With ``frame_mesh`` (a 1-D ``("dp",)`` jax mesh with >1 device), frames
+    render one-per-device in single SPMD dispatches via
+    ``trainer.render_cameras_dp`` — animation throughput scales ~linearly
+    over ICI since frames never communicate (the reference is strictly
+    sequential on one GPU, gaussianavatars/animate.py:127-164)."""
     import cv2
 
     # gaussian attributes are CONSTANT across the sequence — fetch once
@@ -146,6 +188,7 @@ def render_frame_loop(trainer, cams, frame_dir: Path, writer=None,
     from concurrent.futures import ThreadPoolExecutor
 
     PIPELINE = 8
+    D = int(frame_mesh.devices.size) if frame_mesh is not None else 1
     total_truncated = 0
     warned_truncation = False
     inflight = deque()
@@ -161,10 +204,26 @@ def render_frame_loop(trainer, cams, frame_dir: Path, writer=None,
             else None
         inflight.append((idx, out, mesh))
 
+    def dispatch_batch(start):
+        take = list(cams[start:start + D])
+        batch = take + [take[-1]] * (D - len(take))  # pad by repeating
+        out = trainer.render_cameras_dp(
+            batch, [c.timestep for c in batch], frame_mesh,
+            compute_depth=save_depth, clip=True)
+        cache = {}
+        for j in range(len(take)):
+            mesh = (trainer.mesh_at_timestep(take[j].timestep)
+                    if writer is not None else None)
+            inflight.append((start + j, _BatchFrameView(out, j, cache), mesh))
+        return len(take)
+
     while next_dispatch < len(cams) or inflight:
         while next_dispatch < len(cams) and len(inflight) < PIPELINE:
-            dispatch(next_dispatch)
-            next_dispatch += 1
+            if D > 1:
+                next_dispatch += dispatch_batch(next_dispatch)
+            else:
+                dispatch(next_dispatch)
+                next_dispatch += 1
         i, out, mesh = inflight.popleft()
         # inference-path truncation guard (mirrors the train loop,
         # train.py:219-244): a deep tile on the XLA fallback or a splat
@@ -257,6 +316,9 @@ def main():
     parser.add_argument("--compress_ply", action="store_true")
     parser.add_argument("--static", type=int, default=None,
                         help="render a single frame at this timestep")
+    parser.add_argument("--dp_frames", type=int, default=0,
+                        help="render this many frames in parallel, one per "
+                             "device (0 = all local devices, 1 = sequential)")
     args = parser.parse_args()
 
     if args.static is not None:
@@ -270,6 +332,7 @@ def main():
             save_alpha=args.save_alpha, save_depth=args.save_depth,
             export_animation=not args.no_export_animation,
             compress_ply=args.compress_ply,
+            dp_frames=args.dp_frames,
         )
 
 

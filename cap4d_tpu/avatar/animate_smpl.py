@@ -28,6 +28,7 @@ def render_sequence_smpl(
     export_animation: bool = True,
     compress_ply: bool = False,
     n_max_frames=None,
+    dp_frames: int = 1,
 ):
     import cv2
 
@@ -63,8 +64,18 @@ def render_sequence_smpl(
     cams = scene.tgt_cameras
     if n_max_frames:
         cams = cams[:n_max_frames]
+    frame_mesh = None
+    if dp_frames != 1:
+        import jax
+
+        from cap4d_tpu.parallel.mesh import dp_mesh
+        n = dp_frames if dp_frames > 0 else len(jax.devices())
+        if n > 1:
+            frame_mesh = dp_mesh(n)
+            print(f"Rendering {n} frames per dispatch over a ({n},) dp mesh")
     # shared pipelined loop (incl. the truncation guard + threaded writes)
-    render_frame_loop(trainer, cams, frame_dir, writer=writer)
+    render_frame_loop(trainer, cams, frame_dir, writer=writer,
+                      frame_mesh=frame_mesh)
 
     if writer is not None:
         writer.save_ply(output_path / "exported_animation.ply")
@@ -80,12 +91,16 @@ def main():
     parser.add_argument("--fps", type=int, default=24)
     parser.add_argument("--no_export_animation", action="store_true")
     parser.add_argument("--compress_ply", action="store_true")
+    parser.add_argument("--dp_frames", type=int, default=0,
+                        help="render this many frames in parallel, one per "
+                             "device (0 = all local devices, 1 = sequential)")
     args = parser.parse_args()
     render_sequence_smpl(
         args.model_path, args.animation_path, args.output_path,
         smpl_asset_dir=args.smpl_asset_dir, fps=args.fps,
         export_animation=not args.no_export_animation,
         compress_ply=args.compress_ply,
+        dp_frames=args.dp_frames,
     )
 
 

@@ -559,6 +559,100 @@ class AvatarTrainer:
 
     # ---------------------------------------------------------------- render
 
+    def _make_render_fn(self, width: int, height: int, sh_deg: int,
+                        compute_depth: bool, clip: bool):
+        """The (unjitted) single-frame inference program shared by
+        render_camera (jit) and render_cameras_dp (shard_map per device)."""
+        variant = self.variant
+        cfg = self.config
+        deform_net = make_deform_net(cfg)
+        static_neck = cfg.static_neck
+
+        raster = make_raster(
+            self.raster_backend, width, height, sh_deg,
+            self.max_per_tile, self.max_tiles_per_gaussian,
+            render_depth=compute_depth,
+            max_valid_pairs=self._auto_valid_pairs(),
+            small_budget=self.small_budget or None,
+            mid_budget=self.mid_budget or None,
+            big_budget=self.big_budget or None)
+
+        backend = resolve_raster_backend(self.raster_backend)
+
+        def fn(gp, aux, dp, neck, bank, rt, K, t, far):
+            offset = jnp.zeros(3) if static_neck else neck[t]
+            mesh = variant.mesh_props(deform_net, dp, bank, t, offset)
+            if clip:
+                verts = mesh.verts
+                center = (jnp.max(verts, axis=0)
+                          + jnp.min(verts, axis=0)) / 2.0
+                # rigid extrinsics: inv(rt)[:3,3] == -R^T t
+                cam_pos = -jnp.matmul(
+                    rt[:3, :3].T, rt[:3, 3],
+                    precision=jax.lax.Precision.HIGHEST)
+                far = jnp.linalg.norm(center - cam_pos) + 0.025
+            world = G.world_gaussians_pack(gp, aux, mesh.face_pack)
+            if backend == "pallas":
+                return raster(
+                    None, None, None,
+                    world["opacities"], world["sh"], rt, K,
+                    far=far, mask=aux.active, channels=world,
+                )
+            return raster(
+                jnp.stack(world["means3d_ch"], axis=-1),
+                jnp.stack(world["quats_ch"], axis=-1),
+                jnp.stack(world["scales_ch"], axis=-1),
+                world["opacities"], world["sh"], rt, K,
+                far=far, mask=aux.active,
+            )
+
+        return fn
+
+    def render_cameras_dp(self, cams, timesteps, mesh,
+                          sh_degree: Optional[int] = None,
+                          compute_depth: bool = False, clip: bool = False):
+        """One frame per device of a 1-D ``("dp",)`` mesh in a single SPMD
+        dispatch — the TPU-native answer to animation render throughput.
+
+        Frames are embarrassingly parallel (the reference renders them
+        sequentially on one GPU, gaussianavatars/animate.py:127-164): the
+        camera/timestep batch shards over the dp axis while the avatar
+        parameters replicate, so nothing crosses ICI after the initial
+        placement and per-chip FPS scales ~linearly with the slice size.
+        The per-device body is the SAME program render_camera jits."""
+        D = int(mesh.devices.size)
+        assert len(cams) == D and len(timesteps) == D, (len(cams), D)
+        cam0 = cams[0]
+        assert all(c.width == cam0.width and c.height == cam0.height
+                   for c in cams), "dp frame batch needs one resolution"
+        sh_deg = self.active_sh_degree if sh_degree is None else sh_degree
+        if self._render_fns is None:
+            object.__setattr__(self, "_render_fns", {})
+        key = (cam0.width, cam0.height, sh_deg, compute_depth, clip, "dp", D)
+        if key not in self._render_fns:
+            fn = self._make_render_fn(
+                cam0.width, cam0.height, sh_deg, compute_depth, clip)
+
+            def body(gp, aux, dp, neck, bank, rt, K, t, far):
+                out = fn(gp, aux, dp, neck, bank,
+                         rt[0], K[0], t[0], far[0])
+                return jax.tree.map(lambda x: x[None], out)
+
+            P = jax.sharding.PartitionSpec
+            rep, shd = P(), P("dp")
+            sharded = jax.shard_map(
+                body, mesh=mesh,
+                in_specs=(rep, rep, rep, rep, rep, shd, shd, shd, shd),
+                out_specs=shd, check_vma=False)
+            self._render_fns[key] = jax.jit(sharded)
+        rts = jnp.stack([jnp.asarray(c.rt) for c in cams])
+        Ks = jnp.stack([jnp.asarray(c.intrinsics) for c in cams])
+        ts = jnp.asarray(list(timesteps), jnp.int32)
+        fars = jnp.full((D,), 1e3, jnp.float32)
+        return self._render_fns[key](
+            self.gauss_params, self.gauss_aux, self.deform_params,
+            self.neck_weight, self.flame_bank, rts, Ks, ts, fars)
+
     def render_camera(self, cam, timestep: int, sh_degree: Optional[int] = None,
                       compute_depth: bool = False, clip: bool = False):
         """Inference render of one camera (gsplat_renderer.py:20-86).
@@ -575,50 +669,8 @@ class AvatarTrainer:
             object.__setattr__(self, "_render_fns", {})
         key = (cam.width, cam.height, sh_deg, compute_depth, clip)
         if key not in self._render_fns:
-            variant = self.variant
-            cfg = self.config
-            deform_net = make_deform_net(cfg)
-            static_neck = cfg.static_neck
-
-            raster = make_raster(
-                self.raster_backend, cam.width, cam.height, sh_deg,
-                self.max_per_tile, self.max_tiles_per_gaussian,
-                render_depth=compute_depth,
-                max_valid_pairs=self._auto_valid_pairs(),
-                small_budget=self.small_budget or None,
-                mid_budget=self.mid_budget or None,
-                big_budget=self.big_budget or None)
-
-            backend = resolve_raster_backend(self.raster_backend)
-
-            def fn(gp, aux, dp, neck, bank, rt, K, t, far):
-                offset = jnp.zeros(3) if static_neck else neck[t]
-                mesh = variant.mesh_props(deform_net, dp, bank, t, offset)
-                if clip:
-                    verts = mesh.verts
-                    center = (jnp.max(verts, axis=0)
-                              + jnp.min(verts, axis=0)) / 2.0
-                    # rigid extrinsics: inv(rt)[:3,3] == -R^T t
-                    cam_pos = -jnp.matmul(
-                        rt[:3, :3].T, rt[:3, 3],
-                        precision=jax.lax.Precision.HIGHEST)
-                    far = jnp.linalg.norm(center - cam_pos) + 0.025
-                world = G.world_gaussians_pack(gp, aux, mesh.face_pack)
-                if backend == "pallas":
-                    return raster(
-                        None, None, None,
-                        world["opacities"], world["sh"], rt, K,
-                        far=far, mask=aux.active, channels=world,
-                    )
-                return raster(
-                    jnp.stack(world["means3d_ch"], axis=-1),
-                    jnp.stack(world["quats_ch"], axis=-1),
-                    jnp.stack(world["scales_ch"], axis=-1),
-                    world["opacities"], world["sh"], rt, K,
-                    far=far, mask=aux.active,
-                )
-
-            self._render_fns[key] = jax.jit(fn)
+            self._render_fns[key] = jax.jit(self._make_render_fn(
+                cam.width, cam.height, sh_deg, compute_depth, clip))
         return self._render_fns[key](
             self.gauss_params, self.gauss_aux, self.deform_params,
             self.neck_weight, self.flame_bank, jnp.asarray(cam.rt),

@@ -129,6 +129,30 @@ def test_render_and_checkpoint_roundtrip(fitted):
     np.testing.assert_allclose(np.asarray(out2["render"]), img, atol=1e-5)
 
 
+def test_render_cameras_dp_matches_sequential(fitted):
+    """8 frames rendered in ONE shard_map dispatch over a ("dp",) mesh must
+    equal 8 sequential render_camera calls (frame-parallel animation
+    rendering; the reference renders sequentially on one GPU,
+    gaussianavatars/animate.py:127-164)."""
+    root, flame_dir, data_dir, model_path, trainer = fitted
+    from cap4d_tpu.avatar.scene import load_cap4d_dataset
+    from cap4d_tpu.parallel.mesh import dp_mesh
+
+    mesh = dp_mesh(8)
+    scene = load_cap4d_dataset([str(data_dir)])
+    cams = [scene.train_cameras[i % len(scene.train_cameras)]
+            for i in range(8)]
+    batch = trainer.render_cameras_dp(
+        cams, [c.timestep for c in cams], mesh)
+    imgs = np.asarray(batch["render"])
+    assert imgs.shape == (8, RES, RES, 3)
+    assert np.asarray(batch["n_truncated"]).shape == (8,)
+    for i, cam in enumerate(cams):
+        seq = np.asarray(trainer.render_camera(cam, cam.timestep)["render"])
+        np.testing.assert_allclose(imgs[i], seq, atol=1e-5,
+                                   err_msg=f"frame {i}")
+
+
 def test_animate_sequence_and_ply_export(fitted):
     root, flame_dir, data_dir, model_path, _ = fitted
     # driving sequence: reuse the subject fit.npz contract
@@ -144,6 +168,22 @@ def test_animate_sequence_and_ply_export(fitted):
     )
     frames = sorted((out_dir / "frames").glob("*.png"))
     assert len(frames) == 2
+
+    # same two frames through the frame-parallel loop (8-device dp mesh,
+    # batch padded by repeating the last camera) must match the sequential
+    # render byte-for-byte
+    import cv2
+
+    dp_dir = root / "anim_out_dp"
+    render_sequence(
+        model_path, ref_dir / "fit.npz", dp_dir,
+        flame_asset_dir=flame_dir, export_animation=False,
+        n_max_frames=2, dp_frames=8,
+    )
+    for f in frames:
+        a = cv2.imread(str(f))
+        b = cv2.imread(str(dp_dir / "frames" / f.name))
+        np.testing.assert_array_equal(a, b, err_msg=f.name)
     ply = out_dir / "exported_animation.ply"
     assert ply.exists()
 
