@@ -86,11 +86,12 @@ def bench_denoise():
     # differential timing: the axon relay adds a ~150 ms constant per
     # synchronised dispatch train that is NOT device work (device trace
     # 138 ms/call vs 145+ ms wall at 20 iters); timing two train lengths
-    # and dividing by the iteration delta cancels the constant exactly
+    # and dividing by the iteration delta cancels the constant, and the
+    # median of 3 repeats rejects the occasional relay hiccup (a single
+    # pair was observed up to ~15% off)
     n1, n2 = (20, 60) if on_tpu else (2, 5)
-    t1 = timed(n1)
-    t2 = timed(n2)
-    steps_per_sec = (n2 - n1) / max(t2 - t1, 1e-9)
+    dts = sorted((timed(n2) - timed(n1)) / (n2 - n1) for _ in range(3))
+    steps_per_sec = 1.0 / max(dts[1], 1e-9)
     baseline = 21000.0 / (4.0 * 3600.0)  # ~=1.46 group-steps/s (docstring)
     return {
         "metric": "mmdm_denoise_group_steps_per_sec_per_chip",
@@ -156,13 +157,17 @@ def bench_render(n=216_000, s=512, iters=100):
     f1, f2 = make_loop(iters), make_loop(4 * iters)
     _sync(f1(*args))
     _sync(f2(*args))
-    t0 = time.perf_counter()
-    _sync(f1(*args))
-    t1 = time.perf_counter()
-    _sync(f2(*args))
-    t2 = time.perf_counter()
-    dt = ((t2 - t1) - (t1 - t0)) / (3 * iters)
-    fps = 1.0 / dt
+
+    def pair():
+        t0 = time.perf_counter()
+        _sync(f1(*args))
+        t1 = time.perf_counter()
+        _sync(f2(*args))
+        t2 = time.perf_counter()
+        return ((t2 - t1) - (t1 - t0)) / (3 * iters)
+
+    # median of 3 differential pairs (see bench_denoise)
+    fps = 1.0 / sorted(pair() for _ in range(3))[1]
     return {
         "metric": "gs_render_fps_512",
         "value": round(fps, 1),
@@ -289,11 +294,18 @@ def bench_fit(iters=20):
         return state, time.perf_counter() - t0
 
     state, _ = run(state, 2, 0)  # compile + warmup
-    # differential timing (see bench_render): two train lengths cancel the
-    # constant relay overhead of the final synchronising fetch
-    state, t_short = run(state, iters, 2)
-    state, t_long = run(state, 3 * iters, 2 + iters)
-    it_s = (2 * iters) / max(t_long - t_short, 1e-9)
+    # median of 3 differential pairs (see bench_denoise): two train lengths
+    # cancel the constant relay overhead of the final synchronising fetch,
+    # the median rejects relay hiccups (single pairs observed 16.9-19.9
+    # it/s at iters=20)
+    k, dts = 2, []
+    for _ in range(3):
+        state, t_short = run(state, iters, k)
+        k += iters
+        state, t_long = run(state, 3 * iters, k)
+        k += 3 * iters
+        dts.append((t_long - t_short) / (2 * iters))
+    it_s = 1.0 / max(sorted(dts)[1], 1e-9)
     return {
         "metric": "gs_fit_iters_per_sec",
         "value": round(it_s, 2),
