@@ -232,7 +232,8 @@ def render_frame_loop(trainer, cams, frame_dir: Path, writer=None,
         if tr:
             total_truncated += tr
             n_act = int(trainer.gauss_aux.n_active)
-            if tr > max(64, n_act // 1000) and trainer.max_tiles_per_gaussian < 49:
+            if (tr > max(64, n_act // 1000)
+                    and not trainer.raster_caps_at_ceiling):
                 trainer.grow_raster_caps(
                     footprint=int(out["n_truncated"]) > 0,
                     depth=int(out.get("n_truncated_depth", 0)) > 0)

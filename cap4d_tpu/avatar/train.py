@@ -227,7 +227,7 @@ def training(
             tr_foot = int(losses["n_truncated"])
             tr_depth = int(losses["n_truncated_depth"])
             over_tolerance = tr_foot > max(64, n_act // 1000)
-            grow_foot = over_tolerance and trainer.max_tiles_per_gaussian < 49
+            grow_foot = over_tolerance and not trainer.raster_caps_at_ceiling
             if over_tolerance and not grow_foot and not _warned_cap_ceiling:
                 # cap already at its ceiling: persistent truncation can no
                 # longer be acted on — surface it once instead of only
@@ -235,8 +235,10 @@ def training(
                 _warned_cap_ceiling = True
                 print(f"[ITER {iteration}] WARNING: {tr_foot} splats keep "
                       f"exceeding the footprint cap with "
-                      f"max_tiles_per_gaussian already at its ceiling "
-                      f"({trainer.max_tiles_per_gaussian}); their outer "
+                      f"max_tiles_per_gaussian/big_tiles_per_gaussian "
+                      f"already at their ceilings "
+                      f"({trainer.max_tiles_per_gaussian}/"
+                      f"{trainer.big_tiles_per_gaussian}); their outer "
                       f"tiles are clipped. The scene likely has pathological "
                       f"giant splats (see metrics.jsonl n_truncated).")
             if grow_foot or tr_depth:

@@ -65,7 +65,8 @@ def make_raster(backend: str, width: int, height: int, sh_degree: int,
                 mid_budget: Optional[int] = None,
                 big_budget: Optional[int] = None,
                 small_budget: Optional[int] = None,
-                base_side: int = 2):
+                base_side: int = 2,
+                big_tiles_per_gaussian: int = 49):
     """Partial rasterizer for one static signature.
 
     The pallas path has no per-tile compositing cap (max_per_tile is ignored:
@@ -87,7 +88,8 @@ def make_raster(backend: str, width: int, height: int, sh_degree: int,
         if small_budget is not None:
             kw["small_budget"] = small_budget
         return partial(rasterize_gaussians_pallas, base_side=base_side,
-                       max_valid_pairs=max_valid_pairs, **kw)
+                       max_valid_pairs=max_valid_pairs,
+                       big_tiles_per_gaussian=big_tiles_per_gaussian, **kw)
     return partial(rasterize_gaussians, max_per_tile=max_per_tile,
                    tile_chunk=64, **kw)
 
@@ -137,6 +139,11 @@ class AvatarTrainer:
     raster_backend: str = "auto"
     max_per_tile: int = 192
     max_tiles_per_gaussian: int = 9
+    # side² of the budgeted BIG footprint level (pallas path); grown past the
+    # mid-window ceiling when truncation persists — only the ~n/128
+    # largest-span splats pay its slots, so an 11×11 or 13×13 window for the
+    # few giant off-template splats costs ~15% more pair slots, not 2-4×.
+    big_tiles_per_gaussian: int = 49
     # pallas valid-prefix pair cap; 0 = auto (3x gaussian capacity). Doubled
     # by grow_raster_caps(depth=True) when n_truncated_depth fires.
     max_valid_pairs: int = 0
@@ -168,11 +175,30 @@ class AvatarTrainer:
             cap = min(-(-3 * n // 65536) * 65536, 3 * int(gp.xyz.shape[0]))
         return cap
 
+    # growth ceilings: the MID window (every over-2×2 splat within
+    # mid_budget pays its slots) stops at 7×7; the budgeted BIG level keeps
+    # going to 13×13 — persistent giant-splat truncation (e.g. the handful
+    # of off-template shoulder splats in a head fit) biases their gradients
+    # every step and measurably degrades the region they cover.
+    MID_TILES_CEILING = 49
+    BIG_TILES_CEILING = 169
+
+    @property
+    def raster_caps_at_ceiling(self) -> bool:
+        return (self.max_tiles_per_gaussian >= self.MID_TILES_CEILING
+                and self.big_tiles_per_gaussian >= self.BIG_TILES_CEILING)
+
     def grow_raster_caps(self, footprint: bool, depth: bool) -> None:
         """Raise the truncating cap(s); caller must rebuild step fns."""
         if footprint:
-            side = int(self.max_tiles_per_gaussian ** 0.5) + 2
-            self.max_tiles_per_gaussian = side * side
+            if self.max_tiles_per_gaussian < self.MID_TILES_CEILING:
+                side = int(self.max_tiles_per_gaussian ** 0.5) + 2
+                self.max_tiles_per_gaussian = side * side
+            elif self.big_tiles_per_gaussian < self.BIG_TILES_CEILING:
+                big_side = int(self.big_tiles_per_gaussian ** 0.5) + 2
+                self.big_tiles_per_gaussian = big_side * big_side
+            self.big_tiles_per_gaussian = max(self.big_tiles_per_gaussian,
+                                              self.max_tiles_per_gaussian)
             gp = getattr(self, "gauss_params", None)
             n = int(gp.xyz.shape[0]) if gp is not None else 0
             for name, frac in (("small_budget", 5 / 8),
@@ -414,6 +440,7 @@ class AvatarTrainer:
             small_budget=self.small_budget or None,
             mid_budget=self.mid_budget or None,
             big_budget=self.big_budget or None,
+            big_tiles_per_gaussian=self.big_tiles_per_gaussian,
             # training: 1×1 base + budgeted 2×2 ext level — the VJP's
             # m-sized unsort gather/sorts dominate the step, and inactive
             # capacity padding stops paying 4 base slots (see gsplat_pallas)
@@ -575,7 +602,8 @@ class AvatarTrainer:
             max_valid_pairs=self._auto_valid_pairs(),
             small_budget=self.small_budget or None,
             mid_budget=self.mid_budget or None,
-            big_budget=self.big_budget or None)
+            big_budget=self.big_budget or None,
+            big_tiles_per_gaussian=self.big_tiles_per_gaussian)
 
         backend = resolve_raster_backend(self.raster_backend)
 

@@ -15,8 +15,11 @@ generalisation (that needs the MMDM weights).
 
 import argparse
 import json
+import sys
 import time
 from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 
 import numpy as np
 
@@ -35,6 +38,12 @@ def main():
     from cap4d_tpu.mmdm.model import load_yaml
 
     root = Path(args.root)
+    # the sphere-template synthetic FLAME is deterministic (seed 0) — recreate
+    # it if absent (examples_work tracks only the stage1 export + quality.json)
+    if not (root / "assets" / "flame" / "flame2023_no_jaw.pkl").exists():
+        from tests.synthetic_assets import make_asset_dir
+
+        make_asset_dir(root, sphere_radius=0.09)
     cfg = load_yaml("configs/avatar/default.yaml")
     opt = dict(cfg["opt_params"])
     n = args.iterations
