@@ -10,7 +10,9 @@
    gsplat_renderer.py:45-60).
 3. gs_fit_iters_per_sec — full avatar train iteration (FLAME fwd x2, UV
    resample, deform U-Net, render, all losses, grads, per-group Adam) at
-   512x512 with ~110k gaussians, uv 256 (train.py:112-244 workload).
+   512x512, uv 256: n_gaussians_init=100k allocated at 2 points/triangle
+   over the ~102.5k-face uv-256 remesh gives ~205k active splats (the unit
+   string reports the measured count; train.py:112-244 workload).
 
 vs_baseline: the repo publishes no timing numbers (BASELINE.md), so the
 denoise baseline is estimated from the README statement: 4 h for 21,000
@@ -91,7 +93,10 @@ def bench_denoise():
     # pair was observed up to ~15% off)
     n1, n2 = (20, 60) if on_tpu else (2, 5)
     dts = sorted((timed(n2) - timed(n1)) / (n2 - n1) for _ in range(3))
-    steps_per_sec = 1.0 / max(dts[1], 1e-9)
+    # a non-positive median pair means relay jitter swamped the measurement —
+    # fail loudly instead of silently reporting a ~1e9 rate
+    assert dts[1] > 0, f"non-positive differential median: {dts}"
+    steps_per_sec = 1.0 / dts[1]
     baseline = 21000.0 / (4.0 * 3600.0)  # ~=1.46 group-steps/s (docstring)
     return {
         "metric": "mmdm_denoise_group_steps_per_sec_per_chip",
@@ -167,7 +172,9 @@ def bench_render(n=216_000, s=512, iters=100):
         return ((t2 - t1) - (t1 - t0)) / (3 * iters)
 
     # median of 3 differential pairs (see bench_denoise)
-    fps = 1.0 / sorted(pair() for _ in range(3))[1]
+    dts = sorted(pair() for _ in range(3))
+    assert dts[1] > 0, f"non-positive differential median: {dts}"
+    fps = 1.0 / dts[1]
     return {
         "metric": "gs_render_fps_512",
         "value": round(fps, 1),
@@ -305,7 +312,9 @@ def bench_fit(iters=20):
         state, t_long = run(state, 3 * iters, k)
         k += 3 * iters
         dts.append((t_long - t_short) / (2 * iters))
-    it_s = 1.0 / max(sorted(dts)[1], 1e-9)
+    dts = sorted(dts)
+    assert dts[1] > 0, f"non-positive differential median: {dts}"
+    it_s = 1.0 / dts[1]
     return {
         "metric": "gs_fit_iters_per_sec",
         "value": round(it_s, 2),

@@ -228,15 +228,22 @@ def render_frame_loop(trainer, cams, frame_dir: Path, writer=None,
         # inference-path truncation guard (mirrors the train loop,
         # train.py:219-244): a deep tile on the XLA fallback or a splat
         # beyond the footprint window would otherwise be clipped silently
-        tr = int(out["n_truncated"]) + int(out.get("n_truncated_depth", 0))
+        tr_foot = int(out["n_truncated"])
+        tr_depth = int(out.get("n_truncated_depth", 0))
+        tr = tr_foot + tr_depth
         if tr:
             total_truncated += tr
             n_act = int(trainer.gauss_aux.n_active)
-            if (tr > max(64, n_act // 1000)
-                    and not trainer.raster_caps_at_ceiling):
-                trainer.grow_raster_caps(
-                    footprint=int(out["n_truncated"]) > 0,
-                    depth=int(out.get("n_truncated_depth", 0)) > 0)
+            # footprint growth is tolerance- and ceiling-gated like the train
+            # loop; depth growth is NOT tied to the footprint ceilings — a
+            # persistent n_truncated_depth overflow must keep doubling
+            # max_valid_pairs even after the windows hit 49/169 (train.py
+            # grows on `grow_foot or tr_depth` the same way)
+            grow_foot = (tr_foot > max(64, n_act // 1000)
+                         and not trainer.raster_caps_at_ceiling)
+            if grow_foot or tr_depth:
+                trainer.grow_raster_caps(footprint=grow_foot,
+                                         depth=tr_depth > 0)
                 print(f"[frame {i}] {tr} splats truncated — raster caps "
                       f"raised (max_tiles_per_gaussian="
                       f"{trainer.max_tiles_per_gaussian}, max_per_tile="

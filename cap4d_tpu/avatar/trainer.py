@@ -185,6 +185,11 @@ class AvatarTrainer:
 
     @property
     def raster_caps_at_ceiling(self) -> bool:
+        if resolve_raster_backend(self.raster_backend) != "pallas":
+            # the XLA fallback only consumes max_tiles_per_gaussian; growing
+            # the big window / ext budgets there is a no-op that would cost
+            # up to 3 flush+recompile cycles with unchanged output
+            return self.max_tiles_per_gaussian >= self.MID_TILES_CEILING
         return (self.max_tiles_per_gaussian >= self.MID_TILES_CEILING
                 and self.big_tiles_per_gaussian >= self.BIG_TILES_CEILING)
 

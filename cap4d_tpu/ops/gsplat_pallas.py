@@ -399,10 +399,15 @@ def _gather_pairs_t(packed_cm, ext_ids, iperm, sorted_slot, counts):
     measured SLOWER on the fit bench (14.1 vs 15.2 it/s): the extra
     m-sized index gather costs more than the larger-source gather saves.
 
-    Everything stays CHANNEL-MAJOR on both sides of the VJP: (m,16)
-    row-major intermediates are 8×-padded by the T(8,128) tiling and XLA
-    repeatedly chose strided column-major gather fusions for them
-    (12-28 ms/step); the lane-gather formulation is layout-unambiguous.
+    The pack arrays stay CHANNEL-MAJOR at the interface, but the take
+    itself is phrased as a ROW gather on a transposed source — transpose,
+    ``take(..., axis=0)`` of (m,16) rows, transpose back (and the backward
+    unsort mirrors it). Round 2/3 measured persistent (m,16) row-major
+    *intermediates* as 12-28 ms/step (8×-padded by the T(8,128) tiling,
+    strided column-major gather fusions), but the transpose-bracketed row
+    gather with optimization barriers measured 63.1 → 61.7 ms/step over the
+    pure lane-gather phrasing: XLA fuses the transposes into the gather's
+    layout assignment instead of materializing padded intermediates.
 
     Custom VJP: the plain gather's adjoint is a scatter-ADD over millions of
     entries with duplicate indices (TPU scalar core, measured 255 ms/step in
