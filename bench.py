@@ -26,7 +26,6 @@ vs_baseline} shape.
 """
 
 import json
-import os
 import time
 import traceback
 
@@ -36,17 +35,10 @@ import numpy as np
 def _enable_compile_cache():
     """Persistent compilation cache: the three bench parts cost several
     minutes of (remote) TPU compilation; cached executables make reruns —
-    including the driver's — start in seconds."""
-    import jax
+    including the driver's — start in seconds. Shared with the CLIs."""
+    from cap4d_tpu.utils.compile_cache import enable_compile_cache
 
-    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                               "/tmp/cap4d_jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    except Exception:
-        pass
+    enable_compile_cache()
 
 
 def _sync(x):

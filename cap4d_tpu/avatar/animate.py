@@ -41,6 +41,9 @@ def frames_to_mp4(frame_dir: Path, out_path: Path, fps: int = 24) -> None:
 
 def load_trained_avatar(model_path: Path, flame_asset_dir: str,
                         scene) -> AvatarTrainer:
+    from cap4d_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     config = load_yaml(Path(model_path) / "config_dump.yaml")
     trainer = AvatarTrainer.create(
         scene, config["model_params"], config["opt_params"],

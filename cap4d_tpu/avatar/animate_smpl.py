@@ -37,6 +37,9 @@ def render_sequence_smpl(
     frame_dir = output_path / "frames"
     frame_dir.mkdir(parents=True, exist_ok=True)
 
+    from cap4d_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     scene = load_smpl_dataset(None, target_animation_path=str(animation_path))
     config = load_yaml(model_path / "config_dump.yaml")
     trainer = AvatarTrainer.create_smpl(

@@ -1,0 +1,221 @@
+"""Asynchronous AOT compilation of avatar train-step variants.
+
+The fit loop has three recompile triggers — SH-degree warmup, raster-cap
+growth after truncation, and gaussian-capacity growth when densification
+runs out of padded slots. Each is a multi-minute XLA compile through the
+remote TPU relay, and paying them INLINE is what turned round 3's
+16.9 it/s benched step into a 1.5 it/s wall-clock fit
+(examples_work/tesla/quality.json): the reference's torch loop never
+recompiles (dynamic shapes) and sustains ~11 it/s wall
+(gaussianavatars/train.py:112-248), so hiding compiles behind the loop is
+what converts the step-rate win into a wall-clock win.
+
+This module moves every such compile off-thread:
+
+- variants compile ahead-of-time (``jit(step).lower(args).compile()``) on
+  a worker pool while the loop keeps stepping with the previous
+  executable. Raster caps and SH degree only change the traced graph, not
+  the state shapes, so the previous executable stays valid until the new
+  one lands;
+- capacity growth defers the actual store padding until the grown
+  executable is ready: ``densify_and_prune`` keeps dropping overflow
+  candidates in the meantime (counted in ``n_dropped``), which is exactly
+  its behaviour before growth existed, and the dropped clone/split
+  candidates are re-found at the next densification interval;
+- the next SH degree of the warmup schedule is prefetched as soon as the
+  current degree is stepping, so the warmup boundary costs nothing.
+
+Thread-safety: jax tracing/compilation is thread-safe; the worker only
+lowers+compiles, all trainer mutation happens on the loop thread.
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import Future, ThreadPoolExecutor
+from typing import Dict, Optional, Tuple
+
+import jax
+
+from cap4d_tpu.avatar import gaussians as G
+
+_GP_FIELDS = ("xyz", "features_dc", "features_rest", "scaling", "rotation",
+              "opacity")
+
+# step-arg layout: (gp, dp, neck, aux, moments, bank, cam, gt, mask, t,
+#                   lrs, lambda_lpips, adam_step) — trainer._build_train_step
+_N_STATE_ARGS = 5
+
+
+def _sds(x):
+    return jax.ShapeDtypeStruct(x.shape, x.dtype)
+
+
+def grow_state_args(args: tuple, capacity: int) -> tuple:
+    """Abstract the 5 state args to the grown capacity (ShapeDtypeStructs);
+    non-state args pass through as-is (concrete arrays carry their own
+    weak-type metadata, which must match at executable call time)."""
+    gp, dp, neck, aux, moments = args[:_N_STATE_ARGS]
+
+    def grown(x):
+        return jax.ShapeDtypeStruct((capacity,) + x.shape[1:], x.dtype)
+
+    def grown_gp(p):
+        return G.GaussianParams(**{f: grown(getattr(p, f)) for f in _GP_FIELDS})
+
+    aux_a = G.GaussianAux(
+        active=grown(aux.active), binding=grown(aux.binding),
+        binding_counter=_sds(aux.binding_counter),
+        max_radii2d=grown(aux.max_radii2d),
+        xyz_gradient_accum=grown(aux.xyz_gradient_accum),
+        denom=grown(aux.denom))
+    moments_a = {k: (grown_gp(v) if k in ("gauss_m", "gauss_v")
+                     else jax.tree.map(_sds, v))
+                 for k, v in moments.items()}
+    return (grown_gp(gp), jax.tree.map(_sds, dp), _sds(neck), aux_a,
+            moments_a) + tuple(args[_N_STATE_ARGS:])
+
+
+class AsyncStepCompiler:
+    """Schedules train-step compiles off the loop thread.
+
+    A *generation* counter tracks structural trainer changes: raster-cap
+    growth bumps it (old executables stay shape-valid fallbacks), capacity
+    growth bumps it and invalidates everything older (state shapes
+    changed). ``get`` returns the newest ready executable for a key at or
+    below the current generation, scheduling the current one if missing,
+    and blocks only when NO generation is ready (the first compile of a
+    key, which the loop cannot proceed without)."""
+
+    def __init__(self, trainer, workers: int = 2):
+        self._trainer = trainer
+        self._pool = ThreadPoolExecutor(max_workers=workers,
+                                        thread_name_prefix="stepcompile")
+        self._gen = 0
+        self._ready: Dict[Tuple, object] = {}     # (key, gen) -> executable
+        self._pending: Dict[Tuple, Future] = {}   # (key, gen) -> future
+        self._args: Dict[Tuple, tuple] = {}       # (w, h) -> example args
+        self._capacity: Optional[int] = None      # in-flight target capacity
+        self._capacity_key = None
+        self._capacity_future: Optional[Future] = None
+
+    # ------------------------------------------------------------- plumbing
+
+    @property
+    def generation(self) -> int:
+        return self._gen
+
+    @property
+    def capacity_pending(self) -> bool:
+        return self._capacity is not None
+
+    def note_args(self, key: Tuple, args: tuple) -> None:
+        """Record this iteration's real argument tuple as the compile
+        exemplar for its (width, height) — sh-degree variants share it."""
+        self._args[key[:2]] = args
+
+    def is_current(self, key: Tuple) -> bool:
+        """True when the executable ``get`` would return was built against
+        the trainer's CURRENT caps — the loop must only react to truncation
+        counters measured by a current-generation step."""
+        return (key, self._gen) in self._ready
+
+    def bump_caps(self) -> None:
+        """Trainer raster caps changed: new generation; older executables
+        remain valid (same shapes, old caps) until the new compile lands."""
+        self._gen += 1
+
+    # ------------------------------------------------------------- compiles
+
+    def _schedule(self, key: Tuple, gen: int,
+                  capacity: Optional[int] = None) -> Future:
+        if (key, gen) in self._ready:
+            f = Future()
+            f.set_result(self._ready[(key, gen)])
+            return f
+        if (key, gen) in self._pending:
+            return self._pending[(key, gen)]
+        args = self._args[key[:2]]
+        if capacity is not None:
+            args = grow_state_args(args, capacity)
+        # build on the loop thread: _build_train_step snapshots the
+        # trainer's caps (and syncs n_active) at call time
+        jitted = self._trainer._build_train_step(*key, capacity=capacity)
+        fut = self._pool.submit(lambda: jitted.lower(*args).compile())
+        self._pending[(key, gen)] = fut
+        return fut
+
+    def _promote_done(self) -> None:
+        for k, fut in list(self._pending.items()):
+            if fut.done():
+                del self._pending[k]
+                self._ready[k] = fut.result()  # surfaces compile errors
+
+    def prefetch(self, key: Tuple) -> None:
+        """Schedule a compile without waiting (e.g. the next SH degree).
+        No-op while a capacity growth is in flight — its swap would
+        invalidate the result."""
+        if not self.capacity_pending and key[:2] in self._args:
+            self._schedule(key, self._gen)
+
+    def get(self, key: Tuple) -> Tuple[object, bool]:
+        """(executable, is_current_generation). Blocks only when no
+        generation of this key has ever finished compiling."""
+        self._promote_done()
+        gen = self._gen
+        if (key, gen) not in self._ready and (key, gen) not in self._pending:
+            self._schedule(key, gen)
+        for g in range(gen, -1, -1):
+            if (key, g) in self._ready:
+                return self._ready[(key, g)], g == gen
+        # nothing ready: block on the newest pending compile for this key
+        for g in range(gen, -1, -1):
+            fut = self._pending.pop((key, g), None)
+            if fut is not None:
+                self._ready[(key, g)] = fut.result()
+                return self._ready[(key, g)], g == gen
+        raise KeyError(f"no step function scheduled for {key}")
+
+    def get_current(self, key: Tuple):
+        """Block until the CURRENT generation's executable is ready. The
+        pre-loop cap probe must measure the caps it just set — the loop's
+        stale-generation fallback would hand it the executable whose
+        truncation it is reacting to."""
+        self._promote_done()
+        gen = self._gen
+        if (key, gen) not in self._ready:
+            fut = self._pending.pop((key, gen), None)
+            if fut is None:
+                fut = self._schedule(key, gen)
+                self._pending.pop((key, gen), None)
+            self._ready[(key, gen)] = fut.result()
+        return self._ready[(key, gen)]
+
+    # ------------------------------------------------------- capacity growth
+
+    def schedule_capacity(self, key: Tuple, new_capacity: int) -> None:
+        """Start compiling the grown-store step; the store itself is padded
+        only when the executable is ready (see poll_capacity)."""
+        if self.capacity_pending:
+            return
+        self._capacity = new_capacity
+        self._capacity_key = key
+        self._capacity_future = self._schedule(key, self._gen + 1,
+                                               capacity=new_capacity)
+
+    def poll_capacity(self) -> bool:
+        """If the grown executable landed, apply the growth: pad the
+        trainer store, invalidate old-shape executables, install the new
+        one. Cheap when nothing is pending. Returns True on swap."""
+        if not self.capacity_pending or not self._capacity_future.done():
+            return False
+        exe = self._capacity_future.result()
+        cap, key = self._capacity, self._capacity_key
+        self._capacity = self._capacity_key = self._capacity_future = None
+        self._trainer.grow_capacity(cap)
+        self._gen += 1
+        # old-shape executables/futures can no longer be called with the
+        # padded state; orphaned futures finish in the pool and are dropped
+        self._ready = {(key, self._gen): exe}
+        self._pending = {}
+        self._args = {}   # exemplars hold old-capacity state refs
+        return True

@@ -24,8 +24,58 @@ from cap4d_tpu.avatar import gaussians as G
 from cap4d_tpu.avatar.losses import l1_loss, psnr, ssim
 from cap4d_tpu.avatar.lpips import load_lpips
 from cap4d_tpu.avatar.scene import dump_cameras_json, load_cap4d_dataset
+from cap4d_tpu.avatar.step_compiler import AsyncStepCompiler
 from cap4d_tpu.avatar.trainer import AvatarTrainer, expon_lr, search_max_iteration
 from cap4d_tpu.mmdm.model import load_yaml
+from cap4d_tpu.utils.compile_cache import enable_compile_cache
+
+
+def _step_args(trainer, cam, lrs, lam_lpips, adam_step):
+    """One iteration's argument tuple for the jitted step. Centralised so
+    the loop, the pre-loop cap probe and the AOT compiler all construct
+    identically-typed arguments (executable calls are aval-strict —
+    including weak types, hence the explicit dtypes on the scalars)."""
+    gt = jnp.asarray(cam.image)
+    mask = jnp.asarray(cam.mask if cam.mask is not None
+                       else np.ones((cam.height, cam.width), np.float32))
+    cam_in = {"rt": jnp.asarray(cam.rt), "K": jnp.asarray(cam.intrinsics)}
+    return (trainer.gauss_params, trainer.deform_params, trainer.neck_weight,
+            trainer.gauss_aux, trainer.moments, trainer.flame_bank,
+            cam_in, gt, mask, jnp.asarray(int(cam.timestep), jnp.int32),
+            {k: jnp.float32(v) for k, v in lrs.items()},
+            jnp.float32(lam_lpips), jnp.float32(adam_step))
+
+
+def _probe_and_grow_caps(trainer, compiler, cam, max_rounds=6):
+    """Pre-grow the raster caps before iteration 1: run one undonated step
+    on state copies and raise the caps until footprints stop truncating
+    (the loop bench.build_fit_step runs). The probed executables ARE the
+    fit's own step functions — these are the fit's O(1) compiles, all at
+    iteration 0, all persistent-cache-resident for reruns — so the loop
+    starts with settled caps instead of discovering them over the first
+    few hundred iterations with clipped gradients."""
+    key = (cam.width, cam.height, trainer.active_sh_degree)
+    lrs0 = {"xyz": 0.0, "deform": 0.0, "neck": 0.0}
+    for _ in range(max_rounds):
+        args = _step_args(trainer, cam, lrs0, 0.0, 1)
+        compiler.note_args(key, args)
+        step_fn = compiler.get_current(key)
+        state = jax.tree.map(jnp.copy, args[:5])  # the step donates its state
+        losses = step_fn(*state, *args[5:])[5]
+        n_tr = int(losses["n_truncated"])
+        n_trd = int(losses["n_truncated_depth"])
+        n_act = int(trainer.gauss_aux.n_active)
+        grow_foot = (n_tr > max(64, n_act // 1000)
+                     and not trainer.raster_caps_at_ceiling)
+        if not grow_foot and n_trd == 0:
+            return
+        trainer.grow_raster_caps(footprint=grow_foot, depth=n_trd > 0)
+        compiler.bump_caps()
+        print(f"[probe] raster caps raised (footprint_truncated={n_tr}, "
+              f"depth_truncated={n_trd}) -> "
+              f"max_tiles_per_gaussian={trainer.max_tiles_per_gaussian}, "
+              f"big={trainer.big_tiles_per_gaussian}, "
+              f"max_per_tile={trainer.max_per_tile}")
 
 
 def training(
@@ -45,6 +95,7 @@ def training(
 ) -> AvatarTrainer:
     from cap4d_tpu.mmdm.model import _coerce_numbers
 
+    enable_compile_cache()
     model_params = _coerce_numbers(dict(model_params))
     opt_params = _coerce_numbers(dict(opt_params))
     model_path = Path(model_path)
@@ -109,11 +160,12 @@ def training(
 
     metrics_path = model_path / "metrics.jsonl"
     metrics_fh = open(metrics_path, "a")
-    step_fns = {}
+    compiler = AsyncStepCompiler(trainer)
     n_iter = opt_params["iterations"]
     ema_loss = 0.0
     _warned_cap_ceiling = False
     adam_step = 0
+    _probe_and_grow_caps(trainer, compiler, cams[order[0]])
     t_start = time.perf_counter()
 
     for iteration in range(first_iter + 1, n_iter + 1):
@@ -122,6 +174,12 @@ def training(
             trainer.active_sh_degree = min(
                 trainer.active_sh_degree + 1, trainer.config.sh_degree)
 
+        # a background-compiled grown-capacity step may have landed: pad the
+        # store and swap executables without ever having stalled the loop
+        if compiler.poll_capacity():
+            print(f"[ITER {iteration}] grown-capacity step ready — store "
+                  f"padded to {trainer.gauss_params.xyz.shape[0]}")
+
         if order_pos >= len(order):
             order = rng.permutation(len(cams))
             order_pos = 0
@@ -129,10 +187,6 @@ def training(
         order_pos += 1
 
         key = (cam.width, cam.height, trainer.active_sh_degree)
-        if key not in step_fns:
-            step_fns[key] = trainer._build_train_step(cam.width, cam.height,
-                                                      trainer.active_sh_degree)
-        step_fn = step_fns[key]
 
         # scheduled lrs (cap4d_gaussian_model.py:426-441); xyz is scaled by
         # cameras_extent (gaussian_model.py:216,225-228 — 1.0 for CAP4D,
@@ -162,20 +216,19 @@ def training(
                 * opt_params["lambda_lpips_end"],
                 opt_params["lambda_lpips_end"])
 
-        gt = jnp.asarray(cam.image)
-        mask = jnp.asarray(cam.mask if cam.mask is not None
-                           else np.ones((cam.height, cam.width), np.float32))
-        cam_in = {"rt": jnp.asarray(cam.rt), "K": jnp.asarray(cam.intrinsics)}
         adam_step += 1
+        args = _step_args(trainer, cam, lrs, lam_lpips, adam_step)
+        compiler.note_args(key, args)
+        step_fn, is_current_gen = compiler.get(key)
 
         (trainer.gauss_params, trainer.deform_params, trainer.neck_weight,
-         trainer.gauss_aux, trainer.moments, losses, _img) = step_fn(
-            trainer.gauss_params, trainer.deform_params, trainer.neck_weight,
-            trainer.gauss_aux, trainer.moments, trainer.flame_bank,
-            cam_in, gt, mask, jnp.asarray(cam.timestep),
-            {k: jnp.float32(v) for k, v in lrs.items()},
-            jnp.float32(lam_lpips), jnp.float32(adam_step),
-        )
+         trainer.gauss_aux, trainer.moments, losses, _img) = step_fn(*args)
+
+        # prefetch the warmup schedule's next SH degree so the boundary
+        # costs no stall (dedup'd inside prefetch)
+        if trainer.active_sh_degree < trainer.config.sh_degree:
+            compiler.prefetch((cam.width, cam.height,
+                               trainer.active_sh_degree + 1))
 
         # Densification (train.py:229-240)
         if iteration < opt_params["densify_until_iter"]:
@@ -196,13 +249,22 @@ def training(
                     )
                 trainer.moments["gauss_m"], trainer.moments["gauss_v"] = gmoments
                 nd = int(n_dropped)
-                if nd:
-                    # grow the padded store and recompile the step functions
+                if nd and not compiler.capacity_pending:
+                    # grow the padded store WITHOUT stalling: compile the
+                    # grown step off-thread, keep stepping at the current
+                    # capacity (densify keeps dropping overflow candidates
+                    # until the swap — its pre-growth behaviour), pad the
+                    # store when poll_capacity() sees the executable land.
+                    # Growth is quantized to 64k so different fits share
+                    # persistent-cache entries.
                     cap = trainer.gauss_params.xyz.shape[0]
-                    trainer.grow_capacity(int(cap * 1.5))
-                    step_fns.clear()
-                    print(f"[ITER {iteration}] capacity grew after dropping "
-                          f"{nd} clone/split candidates (recompile)")
+                    new_cap = int(cap * 1.5)
+                    if new_cap >= 65536:
+                        new_cap = -(-new_cap // 65536) * 65536
+                    compiler.schedule_capacity(key, new_cap)
+                    print(f"[ITER {iteration}] {nd} clone/split candidates "
+                          f"dropped — compiling capacity {cap}->{new_cap} "
+                          f"in the background")
             if (iteration % opt_params["opacity_reset_interval"] == 0
                     or iteration == opt_params["densify_from_iter"]):
                 trainer.gauss_params, gm = G.reset_opacity(
@@ -227,8 +289,16 @@ def training(
             tr_foot = int(losses["n_truncated"])
             tr_depth = int(losses["n_truncated_depth"])
             over_tolerance = tr_foot > max(64, n_act // 1000)
-            grow_foot = over_tolerance and not trainer.raster_caps_at_ceiling
-            if over_tolerance and not grow_foot and not _warned_cap_ceiling:
+            # only react to counters measured by a CURRENT-generation step:
+            # while a grown-caps compile is pending the old executable keeps
+            # truncating by construction, and a pending capacity swap will
+            # invalidate whatever we'd compile here
+            can_react = is_current_gen and not compiler.capacity_pending
+            grow_foot = (over_tolerance and can_react
+                         and not trainer.raster_caps_at_ceiling)
+            if (over_tolerance and not grow_foot and can_react
+                    and trainer.raster_caps_at_ceiling
+                    and not _warned_cap_ceiling):
                 # cap already at its ceiling: persistent truncation can no
                 # longer be acted on — surface it once instead of only
                 # counting it in metrics.jsonl
@@ -241,15 +311,17 @@ def training(
                       f"{trainer.big_tiles_per_gaussian}); their outer "
                       f"tiles are clipped. The scene likely has pathological "
                       f"giant splats (see metrics.jsonl n_truncated).")
-            if grow_foot or tr_depth:
+            if grow_foot or (tr_depth and can_react):
                 trainer.grow_raster_caps(footprint=grow_foot,
                                          depth=tr_depth > 0)
-                step_fns.clear()
+                compiler.bump_caps()
                 print(f"[ITER {iteration}] raster caps raised "
                       f"(footprint_truncated={tr_foot}, "
                       f"depth_truncated={tr_depth}) -> "
                       f"max_tiles_per_gaussian={trainer.max_tiles_per_gaussian}, "
-                      f"max_per_tile={trainer.max_per_tile} (recompile)")
+                      f"max_per_tile={trainer.max_per_tile} "
+                      f"(compiling in the background; stepping continues "
+                      f"with the old caps)")
             metrics_fh.write(json.dumps(
                 {"iter": iteration, "loss": total,
                  **{k: float(v) for k, v in losses.items()}}) + "\n")

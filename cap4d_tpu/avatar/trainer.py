@@ -157,7 +157,7 @@ class AvatarTrainer:
     big_budget: int = 0
     spatial_lr_scale: float = 1.0   # reference cameras_extent (scene.py:125)
 
-    def _auto_valid_pairs(self) -> int:
+    def _auto_valid_pairs(self, capacity: Optional[int] = None) -> int:
         cap = self.max_valid_pairs
         if not cap:
             gp = getattr(self, "gauss_params", None)
@@ -170,9 +170,12 @@ class AvatarTrainer:
             # reuse the compiled shape; undersizing is self-healing (the
             # n_truncated_depth counter doubles the cap and recompiles, both
             # in the train loop and in bench.build_fit_step's probe).
+            # `capacity` overrides the store size when building a step for a
+            # grown store that hasn't been padded yet (step_compiler).
             aux = getattr(self, "gauss_aux", None)
-            n = int(aux.n_active) if aux is not None else int(gp.xyz.shape[0])
-            cap = min(-(-3 * n // 65536) * 65536, 3 * int(gp.xyz.shape[0]))
+            C = capacity or int(gp.xyz.shape[0])
+            n = int(aux.n_active) if aux is not None else C
+            cap = min(-(-3 * n // 65536) * 65536, 3 * C)
         return cap
 
     # growth ceilings: the MID window (every over-2×2 splat within
@@ -429,7 +432,11 @@ class AvatarTrainer:
 
     # ------------------------------------------------------------- train step
 
-    def _build_train_step(self, width: int, height: int, sh_degree: int):
+    def _build_train_step(self, width: int, height: int, sh_degree: int,
+                          capacity: Optional[int] = None):
+        """Jitted full train iteration. ``capacity`` sizes capacity-derived
+        static knobs when compiling for a store growth that hasn't been
+        applied yet (the state args are then abstract, see step_compiler)."""
         cfg = self.config
         opt = self.opt
         variant = self.variant
@@ -441,7 +448,7 @@ class AvatarTrainer:
         raster = make_raster(
             self.raster_backend, width, height, sh_degree,
             self.max_per_tile, self.max_tiles_per_gaussian,
-            max_valid_pairs=self._auto_valid_pairs(),
+            max_valid_pairs=self._auto_valid_pairs(capacity),
             small_budget=self.small_budget or None,
             mid_budget=self.mid_budget or None,
             big_budget=self.big_budget or None,

@@ -90,6 +90,9 @@ def run_generation(
     profile_dir: Optional[str] = None,
     resume: bool = True,
 ) -> Dict[str, np.ndarray]:
+    from cap4d_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     gen_config = load_yaml(config_path)
     out = Path(output_path)
     out_ref = out / "reference_images"

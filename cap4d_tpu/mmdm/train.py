@@ -130,6 +130,9 @@ def train_mmdm(
     dataset=None,
     image_log_every: Optional[int] = None,
 ):
+    from cap4d_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     config = load_yaml(config_path)
     out = Path(output_path)
     out.mkdir(parents=True, exist_ok=True)

@@ -5,11 +5,24 @@ statistic.
 Closes the round-2 gap "quality evidence is train-view reconstruction only":
 the tesla tracked number (tools/fit_tesla_quality.py) reconstructs the one
 photo it trained on, so novel-view and animation regressions had no tripwire.
-Here ground truth comes from an ORACLE avatar (the deterministic random-color
-initialization of the same synthetic FLAME scene) rendered from an orbit of
+Here ground truth comes from an ORACLE avatar rendered from an orbit of
 cameras — a real 3DGS scene a fit can in principle reproduce exactly, so
 held-out PSNR measures the whole train→novel-view pipeline (UV remesh,
 deform net, binding, densify, rasterizer fwd/bwd) rather than memorization.
+
+Round-4 hardening (VERDICT r3 'what's weak' #4 — the tripwire was
+self-referential):
+
+- CROSS-IMPLEMENTATION ground truth: the oracle renders through the XLA
+  sort-based compositor while the fit trains and evaluates through the
+  Pallas tile kernel — a bug shared by both rasterizers is structurally
+  unlikely (independent binning, sorting and compositing), so agreement is
+  evidence about the Pallas path, not just self-consistency.
+- ≥3 held-out views (12-view orbit, 3 held out).
+- The oracle's pix2pix deform net is NOISE-PERTURBED (its zero-init last
+  layer included), so the GT scene has real expression-driven UV-space
+  corrective deformation the fit's own deform net must learn — a dead
+  deform net now shows up as held-out/driving error.
 
 Reference eval semantics: gaussianavatars/train.py:284-349 evaluates a
 held-out val split; dataset_readers.py:637-648 defines it.
@@ -42,8 +55,8 @@ def enable_cache():
 
 
 RES = 256
-N_VIEWS = 10
-N_HELD_OUT = 2
+N_VIEWS = 12
+N_HELD_OUT = 3
 
 
 def orbit_extr(i, n, dist=1.2):
@@ -121,10 +134,23 @@ def main():
         cv2.imwrite(str(data_dir / "images" / f"{i:05d}.png"),
                     np.zeros((RES, RES, 3), np.uint8))
 
-    # ---- oracle avatar: deterministic random-color init of the same scene
+    # ---- oracle avatar: deterministic random-color init of the same scene.
+    # GT renders go through the XLA sort-based compositor (the fit trains
+    # and evaluates through the Pallas kernel) — cross-implementation GT —
+    # and the oracle's deform net is noise-perturbed so expressions drive a
+    # real UV corrective deformation field the fit must learn.
+    import jax
+
     scene0 = load_cap4d_dataset([str(data_dir)], n_max_val_images=N_HELD_OUT)
     oracle = AvatarTrainer.create(scene0, MODEL_PARAMS, dict(OPT_PARAMS),
                                   flame_asset_dir=flame_dir, seed=7)
+    oracle.raster_backend = "xla"
+    pkeys = jax.random.split(jax.random.PRNGKey(99),
+                             len(jax.tree.leaves(oracle.deform_params)))
+    leaves, treedef = jax.tree.flatten(oracle.deform_params)
+    oracle.deform_params = jax.tree.unflatten(treedef, [
+        p + 0.05 * jax.random.normal(k, p.shape, p.dtype)
+        for p, k in zip(leaves, pkeys)])
     all_cams = scene0.train_cameras + scene0.test_cameras
     all_cams = sorted(all_cams, key=lambda c: c.timestep)
     for cam in all_cams:

@@ -1,28 +1,38 @@
-"""End-to-end multi-ref generation wall-clock on real hardware.
+"""End-to-end generation wall-clock on real hardware.
 
-The driver BASELINE goal is a 10× wall-clock reduction for multi-reference
-generation (reference README.md:76: "This will take hours" on all visible
-CUDA devices; configs/generation/multi_ref.yaml: 80 images × 100 DDIM
-steps). The released MMDM weights are a user download absent from this
-image, so this runs the FULL generation CLI — real architecture from
+The driver BASELINE goal is a 10× wall-clock reduction for generation
+(reference README.md:76: "This will take hours" on all visible CUDA
+devices). Two real workloads plus a smoke mode:
+
+- multi_ref: 80 images × 100 DDIM steps, 4 reference photos
+  (configs/generation/multi_ref.yaml — the felix example).
+- single_ref: the FLAGSHIP workload — 840 images × 100 DDIM steps from ONE
+  reference photo (configs/generation/single_ref.yaml:1-16 — the lincoln
+  example). R=1 ⇒ G=V−R=7 gen slots/group ⇒ 120 groups × 100 steps =
+  12,000 group-steps, plus 841 VAE encodes and 840 decodes. This is the
+  run that proves the 840-latent store + conditioning bank stay
+  HBM-resident beside the UNet at full scale.
+
+The released MMDM weights are a user download absent from this image, so
+this runs the FULL generation CLI — real architecture from
 configs/mmdm/cap4d_mmdm_final.yaml (≈870M-param UNet, 512px, V=8, R_max=4,
 cfg 2.0), real stochastic-I/O sampler, real VAE decodes and PNG/npz output
 contract — with RANDOM weights on synthetic reference photos. Wall-clock is
 weight-independent (same ops, same shapes); only pixel content differs.
 
-Writes examples_work/generation_walltime.json:
-    {"workload": "multi_ref", "n_images": 80, "n_ddim_steps": 100,
-     "wall_s": ..., "sampler_s": ..., "group_steps": ...,
-     "reference_baseline": "hours (README.md:76)"}
+Writes examples_work/generation_walltime.json (multi_ref/smoke) or
+examples_work/generation_walltime_single_ref.json:
+    {"workload": ..., "n_images": ..., "n_ddim_steps": ...,
+     "wall_s": ..., "sampler_s": ..., "reference_baseline": ...}
 
 Usage:
-    python tools/bench_generation.py               # full multi-ref workload
-    python tools/bench_generation.py --smoke       # 8 images × 4 steps
+    python tools/bench_generation.py                        # multi-ref
+    python tools/bench_generation.py --workload single_ref  # flagship 840
+    python tools/bench_generation.py --smoke                # 8 img × 4 steps
 """
 
 import argparse
 import json
-import os
 import shutil
 import sys
 import tempfile
@@ -35,13 +45,9 @@ sys.path.insert(0, str(REPO / "tests"))
 
 
 def enable_cache():
-    import jax
+    from cap4d_tpu.utils.compile_cache import enable_compile_cache
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                     "/tmp/cap4d_jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    enable_compile_cache()
 
 
 def make_real_config_dump(ckpt_dir: Path) -> None:
@@ -59,15 +65,15 @@ def make_real_config_dump(ckpt_dir: Path) -> None:
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--workload", choices=["multi_ref", "single_ref"],
+                    default="multi_ref")
     ap.add_argument("--smoke", action="store_true",
                     help="8 images x 4 DDIM steps instead of 80 x 100")
     ap.add_argument("--images", type=int, default=None,
                     help="override image count")
     ap.add_argument("--steps", type=int, default=None,
                     help="override DDIM step count")
-    ap.add_argument("--out_json",
-                    default=str(REPO / "examples_work" /
-                                "generation_walltime.json"))
+    ap.add_argument("--out_json", default=None)
     ap.add_argument("--workdir", default=None)
     ap.add_argument("--profile_dir", default=None,
                     help="jax.profiler trace of the sampling loop")
@@ -81,17 +87,24 @@ def main():
     )
     import yaml
 
-    n_images = args.images or (8 if args.smoke else 80)
+    single = args.workload == "single_ref" and not args.smoke
+    n_images = args.images or (8 if args.smoke else 840 if single else 80)
     n_steps = args.steps or (4 if args.smoke else 100)
+    if args.out_json is None:
+        name = ("generation_walltime_single_ref.json" if single
+                else "generation_walltime.json")
+        args.out_json = str(REPO / "examples_work" / name)
 
     workdir = Path(args.workdir or tempfile.mkdtemp(prefix="genbench_"))
     workdir.mkdir(parents=True, exist_ok=True)
     flame_dir = make_asset_dir(workdir)
-    # 4 reference frames -> the multi_ref R_max=4 reference-substitution path
-    # (the felix multi-ref example ships 4 reference photos)
-    ref_dir = make_reference_dir(workdir, resolution=512, n_timesteps=4)
+    # single_ref: ONE reference photo (R=1, G=7 — the lincoln example);
+    # multi_ref: 4 reference frames -> the R_max=4 substitution path (the
+    # felix multi-ref example ships 4 reference photos)
+    n_refs = 1 if single else 4
+    ref_dir = make_reference_dir(workdir, resolution=512, n_timesteps=n_refs)
     (ref_dir / "reference_images.json").write_text(
-        json.dumps([["cam0", t] for t in range(4)]))
+        json.dumps([["cam0", t] for t in range(n_refs)]))
     gen_bank = make_gen_bank(workdir, n=max(n_images, 16))
     ckpt_dir = workdir / "weights" / "mmdm"
     make_real_config_dump(ckpt_dir)
@@ -137,7 +150,8 @@ def main():
     assert n_png == n_images, (n_png, n_images)
 
     payload = {
-        "workload": "smoke" if args.smoke else "multi_ref",
+        "workload": "smoke" if args.smoke else args.workload,
+        "n_references": n_refs,
         "n_images": n_images,
         "n_ddim_steps": n_steps,
         "resolution": 512,
