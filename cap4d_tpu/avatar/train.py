@@ -322,11 +322,12 @@ def training(
                       f"max_per_tile={trainer.max_per_tile} "
                       f"(compiling in the background; stepping continues "
                       f"with the old caps)")
-            metrics_fh.write(json.dumps(
-                {"iter": iteration, "loss": total,
-                 **{k: float(v) for k, v in losses.items()}}) + "\n")
             n_active = int(trainer.gauss_aux.n_active)
             elapsed = time.perf_counter() - t_start
+            metrics_fh.write(json.dumps(
+                {"iter": iteration, "loss": total,
+                 "elapsed_s": round(elapsed, 3), "n_active": n_active,
+                 **{k: float(v) for k, v in losses.items()}}) + "\n")
             print(f"[{iteration}/{n_iter}] loss={ema_loss:.5f} "
                   f"gaussians={n_active} it/s={iteration / max(elapsed, 1e-9):.2f}")
             metrics_fh.flush()

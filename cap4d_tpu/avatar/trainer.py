@@ -147,11 +147,11 @@ class AvatarTrainer:
     # pallas valid-prefix pair cap; 0 = auto (3x gaussian capacity). Doubled
     # by grow_raster_caps(depth=True) when n_truncated_depth fires.
     max_valid_pairs: int = 0
-    # pallas footprint-expansion budgets; 0 = capacity-fraction autos
-    # (gsplat_pallas). grow_raster_caps(footprint=True) doubles them (capped
-    # at capacity) alongside the window side: footprint truncation can mean
-    # either a too-small window or a too-small ext budget, and growing both
-    # converges without per-cause counters.
+    # pallas footprint-expansion budgets; 0 = active-count autos
+    # (_active_ext_budgets). grow_raster_caps(footprint=True) doubles them
+    # (capped at capacity) alongside the window side: footprint truncation
+    # can mean either a too-small window or a too-small ext budget, and
+    # growing both converges without per-cause counters.
     small_budget: int = 0
     mid_budget: int = 0
     big_budget: int = 0
@@ -177,6 +177,38 @@ class AvatarTrainer:
             n = int(aux.n_active) if aux is not None else C
             cap = min(-(-3 * n // 65536) * 65536, 3 * C)
         return cap
+
+    def _active_ext_budgets(self, capacity: Optional[int] = None) -> Dict[str, int]:
+        """Footprint ext-level budgets sized by the ACTIVE splat count.
+
+        The pallas ext regions address span-COMPACTED prefixes, and inactive
+        capacity padding has span_eff=1 so it sorts to the compaction tail —
+        capacity-fraction autos (gsplat_pallas._auto) therefore oversize every
+        ext level by capacity/active (1.6× at init). Every ext SLOT costs sort
+        keys and ~12 ns/column in the VJP's m-sized unsort gather whether or
+        not it holds a live pair, so budgets here use the same span-census
+        fractions applied to n_active, quantized to 8192 so ordinary
+        densification growth rebuilds hit the same compiled shape.
+        Undersizing self-heals exactly like the valid-pairs cap: n_truncated
+        fires and grow_raster_caps doubles the budgets."""
+        explicit = {"small_budget": self.small_budget,
+                    "mid_budget": self.mid_budget,
+                    "big_budget": self.big_budget}
+        gp = getattr(self, "gauss_params", None)
+        aux = getattr(self, "gauss_aux", None)
+        if gp is None:
+            return {k: v or None for k, v in explicit.items()}
+        C = capacity or int(gp.xyz.shape[0])
+        n = int(aux.n_active) if aux is not None else C
+        nq = min(-(-n // 8192) * 8192, C)
+
+        def q(frac, quantum):
+            return min(max(quantum, -(-int(nq * frac) // quantum) * quantum), C)
+
+        autos = {"small_budget": q(5 / 8, 512),
+                 "mid_budget": q(1 / 32, 512),
+                 "big_budget": q(1 / 128, 256)}
+        return {k: explicit[k] or autos[k] for k in autos}
 
     # growth ceilings: the MID window (every over-2×2 splat within
     # mid_budget pays its slots) stops at 7×7; the budgeted BIG level keeps
@@ -209,10 +241,9 @@ class AvatarTrainer:
                                               self.max_tiles_per_gaussian)
             gp = getattr(self, "gauss_params", None)
             n = int(gp.xyz.shape[0]) if gp is not None else 0
-            for name, frac in (("small_budget", 5 / 8),
-                               ("mid_budget", 1 / 32),
-                               ("big_budget", 1 / 128)):
-                cur = getattr(self, name, 0) or int(n * frac)
+            autos = self._active_ext_budgets() if gp is not None else {}
+            for name in ("small_budget", "mid_budget", "big_budget"):
+                cur = getattr(self, name, 0) or autos.get(name) or 0
                 if cur:
                     setattr(self, name, min(2 * cur, n) if n else 2 * cur)
         if depth:
@@ -449,9 +480,7 @@ class AvatarTrainer:
             self.raster_backend, width, height, sh_degree,
             self.max_per_tile, self.max_tiles_per_gaussian,
             max_valid_pairs=self._auto_valid_pairs(capacity),
-            small_budget=self.small_budget or None,
-            mid_budget=self.mid_budget or None,
-            big_budget=self.big_budget or None,
+            **self._active_ext_budgets(capacity),
             big_tiles_per_gaussian=self.big_tiles_per_gaussian,
             # training: 1×1 base + budgeted 2×2 ext level — the VJP's
             # m-sized unsort gather/sorts dominate the step, and inactive
@@ -462,24 +491,27 @@ class AvatarTrainer:
         def loss_fn(trainable, aux, bank, cam, gt_image, mask, t, lambda_lpips):
             gp, dp, neck = trainable["gauss"], trainable["deform"], trainable["neck"]
             offset = jnp.zeros(3) if static_neck else neck[t]
-            mesh = variant.mesh_props(deform_net, dp, bank, t, offset)
-            world = G.world_gaussians_pack(gp, aux, mesh.face_pack)
+            with jax.named_scope("flame_mesh"):
+                mesh = variant.mesh_props(deform_net, dp, bank, t, offset)
+            with jax.named_scope("world_pack"):
+                world = G.world_gaussians_pack(gp, aux, mesh.face_pack)
             m2d_zero = trainable["m2d"]
-            if backend == "pallas":  # channel path: no minor-dim-3/4 arrays
-                out = raster(
-                    None, None, None,
-                    world["opacities"], world["sh"], cam["rt"], cam["K"],
-                    means2d_offset=m2d_zero, mask=aux.active,
-                    channels=world,
-                )
-            else:
-                out = raster(
-                    jnp.stack(world["means3d_ch"], axis=-1),
-                    jnp.stack(world["quats_ch"], axis=-1),
-                    jnp.stack(world["scales_ch"], axis=-1),
-                    world["opacities"], world["sh"], cam["rt"], cam["K"],
-                    means2d_offset=m2d_zero, mask=aux.active,
-                )
+            with jax.named_scope("raster"):
+                if backend == "pallas":  # channel path: no minor-dim-3/4 arrays
+                    out = raster(
+                        None, None, None,
+                        world["opacities"], world["sh"], cam["rt"], cam["K"],
+                        means2d_offset=m2d_zero, mask=aux.active,
+                        channels=world,
+                    )
+                else:
+                    out = raster(
+                        jnp.stack(world["means3d_ch"], axis=-1),
+                        jnp.stack(world["quats_ch"], axis=-1),
+                        jnp.stack(world["scales_ch"], axis=-1),
+                        world["opacities"], world["sh"], cam["rt"], cam["K"],
+                        means2d_offset=m2d_zero, mask=aux.active,
+                    )
             image = out["render"] * mask[..., None]
             gt = gt_image * mask[..., None]
             # photometric losses run CHANNEL-FIRST: (H, W, 3) arrays are
@@ -489,40 +521,42 @@ class AvatarTrainer:
             gt_cf = jnp.transpose(gt, (2, 0, 1))
 
             losses = {}
-            ssim_v = ssim(image_cf, gt_cf, channel_first=True)
-            lam_ds = opt["lambda_dssim"]
-            # the reference hands the photometric objective over to LPIPS as
-            # λ_lpips ramps to 1 (train.py:152-165); without LPIPS weights
-            # the (1-λ) down-weighting would drive the photometric loss to
-            # ZERO — keep l1/SSIM at full weight instead
-            photo_w = (1 - lambda_lpips) if lpips.available else 1.0
-            losses["l1"] = l1_loss(image_cf, gt_cf) * (1 - lam_ds) * photo_w
-            losses["ssim"] = (1 - ssim_v) * lam_ds * photo_w
-            if lpips.available:
-                losses["lpips"] = opt["w_lpips"] * lambda_lpips * lpips(image, gt)
+            with jax.named_scope("photometric"):
+                ssim_v = ssim(image_cf, gt_cf, channel_first=True)
+                lam_ds = opt["lambda_dssim"]
+                # the reference hands the photometric objective over to LPIPS
+                # as λ_lpips ramps to 1 (train.py:152-165); without LPIPS
+                # weights the (1-λ) down-weighting would drive the
+                # photometric loss to ZERO — keep l1/SSIM at full weight
+                photo_w = (1 - lambda_lpips) if lpips.available else 1.0
+                losses["l1"] = l1_loss(image_cf, gt_cf) * (1 - lam_ds) * photo_w
+                losses["ssim"] = (1 - ssim_v) * lam_ds * photo_w
+                if lpips.available:
+                    losses["lpips"] = opt["w_lpips"] * lambda_lpips * lpips(image, gt)
 
             vis = out["visibility"] & aux.active
             nvis = jnp.clip(jnp.sum(vis), 1)
-            # xyz / scale regularizers (train.py:166-175, non-metric variants)
-            xyz_pen = jax.nn.relu(safe_norm(gp.xyz, axis=1) - opt["threshold_xyz"])
-            losses["xyz"] = jnp.sum(xyz_pen * vis) / nvis * opt["lambda_xyz"]
-            if opt["lambda_scale"] != 0:
-                sc_pen = jax.nn.relu(jnp.exp(gp.scaling) - opt["threshold_scale"])
-                sc_pen = safe_norm(sc_pen, axis=1)
-                losses["scale"] = jnp.sum(sc_pen * vis) / nvis * opt["lambda_scale"]
-            if opt["lambda_laplacian"] != 0:
-                losses["lap"] = laplacian_loss(mesh.deform_output) * opt["lambda_laplacian"]
-            if opt["lambda_relative_deform"] != 0:
-                neutral = G.world_gaussians_pack(gp, aux, mesh.neutral_pack)
-                losses["deform"] = relative_deformation_loss_ch(
-                    world["means3d_ch"], neutral["means3d_ch"],
-                    active=aux.active,
-                    n_active=aux.n_active) * opt["lambda_relative_deform"]
-            if opt["lambda_relative_rot"] != 0:
-                losses["rot"] = relative_rotation_loss_pack(
-                    mesh.neutral_pack, mesh.face_pack) * opt["lambda_relative_rot"]
-            if opt["lambda_neck"] != 0 and not static_neck:
-                losses["neck"] = safe_norm(neck[t]) * opt["lambda_neck"]
+            with jax.named_scope("regularizers"):
+                # xyz / scale regularizers (train.py:166-175, non-metric variants)
+                xyz_pen = jax.nn.relu(safe_norm(gp.xyz, axis=1) - opt["threshold_xyz"])
+                losses["xyz"] = jnp.sum(xyz_pen * vis) / nvis * opt["lambda_xyz"]
+                if opt["lambda_scale"] != 0:
+                    sc_pen = jax.nn.relu(jnp.exp(gp.scaling) - opt["threshold_scale"])
+                    sc_pen = safe_norm(sc_pen, axis=1)
+                    losses["scale"] = jnp.sum(sc_pen * vis) / nvis * opt["lambda_scale"]
+                if opt["lambda_laplacian"] != 0:
+                    losses["lap"] = laplacian_loss(mesh.deform_output) * opt["lambda_laplacian"]
+                if opt["lambda_relative_deform"] != 0:
+                    neutral = G.world_gaussians_pack(gp, aux, mesh.neutral_pack)
+                    losses["deform"] = relative_deformation_loss_ch(
+                        world["means3d_ch"], neutral["means3d_ch"],
+                        active=aux.active,
+                        n_active=aux.n_active) * opt["lambda_relative_deform"]
+                if opt["lambda_relative_rot"] != 0:
+                    losses["rot"] = relative_rotation_loss_pack(
+                        mesh.neutral_pack, mesh.face_pack) * opt["lambda_relative_rot"]
+                if opt["lambda_neck"] != 0 and not static_neck:
+                    losses["neck"] = safe_norm(neck[t]) * opt["lambda_neck"]
 
             total = sum(losses.values())
             return total, (losses, image, out)
@@ -531,15 +565,19 @@ class AvatarTrainer:
                  lrs, lambda_lpips, adam_step):
             trainable = {"gauss": gp, "deform": dp, "neck": neck,
                          "m2d": jnp.zeros((gp.xyz.shape[0], 2))}
-            (total, (losses, image, out)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(trainable, aux, bank, cam, gt_image,
-                                       mask, t, lambda_lpips)
+            with jax.named_scope("value_and_grad"):
+                (total, (losses, image, out)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(trainable, aux, bank, cam, gt_image,
+                                           mask, t, lambda_lpips)
 
             # densification stats from the means2d gradient (train.py:230-233)
-            aux = G.add_densification_stats(
-                aux, grads["m2d"], out["visibility"], out["radii"])
+            with jax.named_scope("densify_stats"):
+                aux = G.add_densification_stats(
+                    aux, grads["m2d"], out["visibility"], out["radii"])
 
             # per-group Adam (cap4d_gaussian_model.py:381-416)
+            adam_scope = jax.named_scope("adam")
+            adam_scope.__enter__()
             g_lr = {"xyz": lrs["xyz"], "features_dc": opt["feature_lr"],
                     "features_rest": opt["feature_lr"] / 20.0,
                     "opacity": opt["opacity_lr"], "scaling": opt["scaling_lr"],
@@ -584,6 +622,7 @@ class AvatarTrainer:
             else:
                 neck_m, neck_v = moments["neck_m"], moments["neck_v"]
 
+            adam_scope.__exit__(None, None, None)
             moments = {"gauss_m": gauss_m, "gauss_v": gauss_v,
                        "deform_m": deform_m, "deform_v": deform_v,
                        "neck_m": neck_m, "neck_v": neck_v}
@@ -612,9 +651,7 @@ class AvatarTrainer:
             self.max_per_tile, self.max_tiles_per_gaussian,
             render_depth=compute_depth,
             max_valid_pairs=self._auto_valid_pairs(),
-            small_budget=self.small_budget or None,
-            mid_budget=self.mid_budget or None,
-            big_budget=self.big_budget or None,
+            **self._active_ext_budgets(),
             big_tiles_per_gaussian=self.big_tiles_per_gaussian)
 
         backend = resolve_raster_backend(self.raster_backend)

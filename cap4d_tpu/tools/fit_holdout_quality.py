@@ -55,7 +55,10 @@ def enable_cache():
 
 
 RES = 256
-N_VIEWS = 12
+# 30 views so the loader's reference-parity "last 10%" val split
+# (scene.py:187, dataset_readers.py:637-648) holds out exactly 3 views —
+# asking for 3 of 12 silently clipped to int(12·0.1)=1 in round 3
+N_VIEWS = 30
 N_HELD_OUT = 3
 
 
@@ -96,7 +99,9 @@ MODEL_PARAMS = dict(
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--iterations", type=int, default=600)
+    # 1500: at 600 the fit is still visibly descending against the
+    # noise-perturbed-deform oracle (round-4 measurement: PSNR 19.3 @600)
+    ap.add_argument("--iterations", type=int, default=1500)
     ap.add_argument("--out", type=str, default="examples_work/holdout")
     args = ap.parse_args()
     enable_cache()
