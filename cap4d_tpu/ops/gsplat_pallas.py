@@ -19,9 +19,13 @@ TPU-native design:
   * Pallas forward: one grid step per 16×16 tile. The kernel walks the
     tile's pair segment [start, start+len) in CHUNK-column slices via
     double-buffered dynamic-offset HBM→VMEM DMA and composites
-    front-to-back, carrying per-pixel log-transmittance; the within-chunk
-    exclusive prefix of log(1−α) is one (PX,CH)@(CH,CH) triangular matmul on
-    the MXU. It terminates early once every pixel's transmittance falls
+    front-to-back, carrying per-pixel log2-transmittance (exp2/log2 are the
+    VPU-native transcendentals; a direct-product lane-scan formulation was
+    measured and loses — see tools/bench_vpu_ops.py); the within-chunk
+    exclusive prefix of log2(1−α) is a blocked pair of (PX,128)@(128,128)
+    triangular matmuls + a broadcast carry on the MXU (half the MACs of the
+    dense CHUNK² triangle). It terminates early once every pixel's
+    transmittance falls
     below 1e-4 (the same threshold CUDA 3DGS uses) — there is NO per-tile
     gaussian cap, so nothing is silently truncated no matter how deep
     densification stacks a tile.
@@ -63,7 +67,12 @@ TILE = 16                 # pixels per tile side (PX = 256 pixels per tile)
 CHUNK = 256               # gaussians composited per inner step (bigger chunks amortize
                           # the per-chunk DMA-wait/loop overhead; 128 measured ~1.6x slower)
 NCH = 16                  # packed channel rows (10 used, padded to the 8-sublane tiling)
-_LOG_TERM = -9.21034037   # log(1e-4): early-termination transmittance
+_LOG2_TERM = -13.28771238  # log2(1e-4): early-termination transmittance
+_LN2 = 0.6931471805599453  # kernel-internal transmittance runs in log2
+                           # (exp2/log2 are the VPU-native ops: measured 39/52
+                           # vs 45/164 ns per (256,256) block for exp/log1p,
+                           # tools/bench_vpu_ops.py); the logT OUTPUT column
+                           # stays natural-log (converted once per tile)
 _ALPHA_MIN = 1.0 / 255.0
 _ALPHA_MAX = 0.999
 
@@ -80,14 +89,12 @@ def _tri(ch: int, inclusive: bool) -> jnp.ndarray:
 
 
 def _dot_tri(a: jnp.ndarray, u16: jnp.ndarray) -> jnp.ndarray:
-    """(PX, CH) @ (CH, CH) triangular prefix in TWO bf16 MXU passes.
+    """(PX, H) @ (H, H) triangular prefix in TWO bf16 MXU passes.
 
-    This matmul dominates the kernel's MXU time (per pair it is PX×CH MACs —
-    everything else is O(PX) per pair). ``Precision.HIGHEST`` costs 6 bf16
-    passes; because ``u16`` is exactly representable (0/1) a two-term split
-    of ``a`` recovers ~16-17 mantissa bits (abs err ~2^-17·|Σ|, far inside
-    the 5e-4 gradient-parity tolerance) at one third the MXU cost —
-    measured 2.9→~1.6 ms/frame on the forward composite at bench shapes."""
+    ``Precision.HIGHEST`` costs 6 bf16 passes; because ``u16`` is exactly
+    representable (0/1) a two-term split of ``a`` recovers ~16-17 mantissa
+    bits (abs err ~2^-17·|Σ|, far inside the 5e-4 gradient-parity
+    tolerance) at one third the MXU cost."""
     a_hi = a.astype(jnp.bfloat16)
     a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     dims = (((1,), (0,)), ((), ()))
@@ -95,6 +102,27 @@ def _dot_tri(a: jnp.ndarray, u16: jnp.ndarray) -> jnp.ndarray:
                                 preferred_element_type=jnp.float32)
             + jax.lax.dot_general(a_lo, u16, dims,
                                   preferred_element_type=jnp.float32))
+
+
+def _dot_tri_blk(a: jnp.ndarray, u_half: jnp.ndarray,
+                 inclusive: bool) -> jnp.ndarray:
+    """Blocked (PX, CHUNK) triangular prefix: two half-width _dot_tri calls
+    plus a broadcast carry into the upper half.
+
+    The dense CHUNK×CHUNK triangular matmul wastes half its MACs on the
+    all-zero lower-left block; two (PX,128)@(128,128) halves + a (PX,1)
+    carry add do the same prefix at half the MXU work — measured 287 vs
+    387 ns per chunk (tools/bench_vpu_ops.py tri_blocked vs tri_matmul2;
+    the 4-way split regresses to 578 ns on small-matmul overhead)."""
+    h = CHUNK // 2
+    lo, hi = a[:, :h], a[:, h:]
+    p_lo = _dot_tri(lo, u_half)
+    p_hi = _dot_tri(hi, u_half)
+    if inclusive:
+        carry = p_lo[:, h - 1:]                       # inclusive total of lo
+    else:
+        carry = p_lo[:, h - 1:] + lo[:, h - 1:]       # exclusive + last elem
+    return jnp.concatenate([p_lo, p_hi + carry], axis=1)
 
 
 def _dot_ones(x: jnp.ndarray) -> jnp.ndarray:
@@ -131,7 +159,13 @@ def _chunk_fields(d):
 
 
 def _alpha_terms(d, px, py, colmask):
-    """Shared forward math: returns (alpha, l=log1p(-alpha), fields...).
+    """Shared forward math: returns (alpha, l=log2(1-alpha), fields...).
+
+    l is LOG2: exp2/log2 are the VPU-native transcendentals (exp is exp2
+    with a pre-scale; log1p measured 3× the cost of log). log2(1-α) loses
+    nothing vs log1p(-α) here: kept alphas satisfy α ≥ 1/255, where 1-α is
+    exact (Sterbenz for α ≥ 0.5) or ≤½ulp off, and masked lanes are exactly
+    log2(1) = 0.
 
     colmask (1, CH) masks the partial tail of a tile's last chunk (those
     columns belong to the NEXT tile's segment in the unaligned layout)."""
@@ -143,7 +177,7 @@ def _alpha_terms(d, px, py, colmask):
     alpha_raw = opac * expneg
     keep = (sigma >= 0.0) & (alpha_raw >= _ALPHA_MIN) & colmask
     alpha = jnp.where(keep, jnp.minimum(alpha_raw, _ALPHA_MAX), 0.0)
-    l = jnp.log1p(-alpha)
+    l = jnp.log2(1.0 - alpha)
     return alpha, l, dx, dy, expneg, alpha_raw, keep, colors, depth
 
 
@@ -172,7 +206,7 @@ def _fwd_kernel(bounds_ref, pairs_ref, out_ref, buf, sem, *, tiles_x):
     off0 = s0 - c0 * CHUNK
     nck = jnp.where(ln > 0, (off0 + ln + CHUNK - 1) // CHUNK, 0)
     px, py = _pixel_coords(t, tiles_x)
-    u_excl = _tri(CHUNK, inclusive=False)
+    u_half = _tri(CHUNK // 2, inclusive=False)
     lane = _lane()
 
     def dma(slot, j):
@@ -200,8 +234,8 @@ def _fwd_kernel(bounds_ref, pairs_ref, out_ref, buf, sem, *, tiles_x):
         g_pos = j * CHUNK + lane - off0          # position within the segment
         colmask = (g_pos >= 0) & (g_pos < ln)
         alpha, l, _, _, _, _, _, colors, depth = _alpha_terms(d, px, py, colmask)
-        excl = _dot_tri(l, u_excl)
-        w = alpha * jnp.exp(excl + logT)               # (PX, CH)
+        excl = _dot_tri_blk(l, u_half, inclusive=False)
+        w = alpha * jnp.exp2(excl + logT)              # (PX, CH)
         # rgb + wsum + dsum in ONE matmul: ride two extra output lanes (a
         # ones row and the depth row) instead of two (PX,CH) lane reductions
         cmat = jnp.concatenate(
@@ -215,7 +249,7 @@ def _fwd_kernel(bounds_ref, pairs_ref, out_ref, buf, sem, *, tiles_x):
         return j + 1, jnp.max(logT), rgb, wsum, dsum, logT
 
     n_done, _, rgb, wsum, dsum, logT = jax.lax.while_loop(
-        lambda c: (c[0] < nck) & (c[1] > _LOG_TERM), body, init)
+        lambda c: (c[0] < nck) & (c[1] > _LOG2_TERM), body, init)
 
     # early termination exits with the next chunk's DMA already in flight —
     # it must be consumed before the kernel step ends (unwaited semaphore
@@ -225,7 +259,8 @@ def _fwd_kernel(bounds_ref, pairs_ref, out_ref, buf, sem, *, tiles_x):
         dma(n_done % 2, n_done).wait()
 
     out_ref[0] = jnp.concatenate(
-        [rgb, wsum, dsum, logT, jnp.zeros((PX, 2), jnp.float32)], axis=1)
+        [rgb, wsum, dsum, logT * _LN2, jnp.zeros((PX, 2), jnp.float32)],
+        axis=1)
 
 
 def _bwd_kernel(bounds_ref, pairs_ref, fwd_out_ref, g_ref,
@@ -247,8 +282,8 @@ def _bwd_kernel(bounds_ref, pairs_ref, fwd_out_ref, g_ref,
     off0 = s0 - c0 * CHUNK
     nck = jnp.where(ln > 0, (off0 + ln + CHUNK - 1) // CHUNK, 0)
     px, py = _pixel_coords(t, tiles_x)
-    u_incl = _tri(CHUNK, inclusive=True)
-    u_excl = _tri(CHUNK, inclusive=False)
+    u_half_i = _tri(CHUNK // 2, inclusive=True)
+    u_half_e = _tri(CHUNK // 2, inclusive=False)
     lane = _lane()
 
     g_rgb = g_ref[0, :, 0:3]                            # (PX, 3)
@@ -302,15 +337,15 @@ def _bwd_kernel(bounds_ref, pairs_ref, fwd_out_ref, g_ref,
          colors, depth) = _alpha_terms(d, px, py, colmask)
         ca, cb, cc = d[2:3], d[3:4], d[4:5]
 
-        e = _dot_tri(l, u_excl)                         # exclusive prefix
-        T = jnp.exp(e + logT)
+        e = _dot_tri_blk(l, u_half_e, inclusive=False)  # exclusive prefix
+        T = jnp.exp2(e + logT)
         w = alpha * T
 
         # q_k(p): sensitivity of the outputs to w_k at pixel p
         q = (_dot3(g_rgb, colors, (((1,), (0,)), ((), ())))
              + g_wsum + g_dsum * depth)                 # (PX, CH)
         wq = w * q
-        incl = _dot_tri(wq, u_incl)
+        incl = _dot_tri_blk(wq, u_half_i, inclusive=True)
         suffix = s_total - (prefix + incl)              # Σ_{j>k} w_j q_j
         d_alpha = T * q - (suffix + g_logT) / (1.0 - alpha)
         active = keep & (alpha_raw < _ALPHA_MAX)
@@ -358,7 +393,7 @@ def _bwd_kernel(bounds_ref, pairs_ref, fwd_out_ref, g_ref,
         return j + 1, jnp.max(logT), prefix, logT
 
     n_done, _, _, _ = jax.lax.while_loop(
-        lambda c: (c[0] < nck) & (c[1] > _LOG_TERM), body, init)
+        lambda c: (c[0] < nck) & (c[1] > _LOG2_TERM), body, init)
 
     # consume the in-flight input + accumulator DMAs left by early
     # termination (see fwd)
