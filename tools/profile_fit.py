@@ -1,11 +1,13 @@
 """Per-component decomposition of the full fit step (VERDICT r3 item 4).
 
 Runs bench.build_fit_step under jax.profiler, then attributes every device
-event to a train-step component via the jax.named_scope annotations compiled
-into the step (trainer._build_train_step: flame_mesh / world_pack / raster /
-photometric / regularizers / adam / densify_stats; VJP ops inherit the
-forward scope under transpose). Events without a scope are bucketed by op
-family (sort / gather-or-dynamic-slice / pallas kernels / other fusions).
+event to a train-step component via the jax.named_scope annotations
+(trainer._build_train_step: flame_mesh / world_pack / raster / photometric /
+regularizers / adam / densify_stats; VJP ops inherit the forward scope under
+transpose). The trace's XLA-Op events carry no scope metadata on this
+backend, so the join goes through the compiled executable's optimized HLO
+text: instruction name -> metadata op_name -> scope. Events without a scope
+are bucketed by op family (sort / gather / pallas / other).
 
 Prints per-scope totals + the top ops inside each, writes nothing — the
 table goes into BASELINE.md by hand with the trace date.
@@ -31,18 +33,33 @@ SCOPES = ("flame_mesh", "world_pack", "raster", "photometric",
           "regularizers", "adam", "densify_stats")
 
 
-def classify(name: str) -> str:
+def classify(name: str, op_names: dict) -> str:
+    instr = name.split(" = ")[0].strip().lstrip("%")
+    scope_src = op_names.get(instr, "")
     for s in SCOPES:
-        if f"{s}/" in name or name.endswith(s) or f"/{s}" in name:
-            return s
+        # scopes appear as jvp(raster)/..., transpose(jvp(raster))/..., or
+        # bare .../raster/... — match the word, not a particular phrasing
+        if re.search(rf"\b{s}\b", scope_src):
+            return ("(vjp) " + s) if "transpose" in scope_src else s
     low = name.lower()
     if "sort" in low:
         return "(unscoped) sort"
     if "gather" in low or "dynamic-slice" in low or "dynamic_slice" in low:
         return "(unscoped) gather/slice"
-    if "custom-call" in low or "tpu_custom_call" in low:
+    if "custom-call" in low or "rasterize" in low:
         return "(unscoped) pallas"
     return "(unscoped) other"
+
+
+def hlo_op_names(compiled) -> dict:
+    """instruction name -> metadata op_name, from the optimized HLO text."""
+    pat = re.compile(r"%?([\w.\-]+) = .*?op_name=\"([^\"]+)\"")
+    out = {}
+    for line in compiled.as_text().splitlines():
+        m = pat.search(line)
+        if m:
+            out[m.group(1)] = m.group(2)
+    return out
 
 
 def main():
@@ -58,6 +75,13 @@ def main():
 
     step_fn, fixed, state, n_active = build_fit_step()
     bank, cam_in, gt, mask, t, lrs = fixed
+
+    # optimized-HLO op_name map for scope attribution
+    compiled = step_fn.lower(
+        *state, bank, cam_in, gt, mask, t, lrs,
+        jnp.float32(0.0), jnp.float32(1.0)).compile()
+    op_names = hlo_op_names(compiled)
+    print(f"{len(op_names)} HLO instructions carry op_name metadata")
 
     def run(state, n, k0):
         for k in range(n):
@@ -87,11 +111,11 @@ def main():
         if "TPU" not in plane.name:
             continue
         for line in plane.lines:
-            if "XLA Op" not in line.name and "Ops" not in line.name:
+            if line.name != "XLA Ops":
                 continue
             ivs = []
             for ev in line.events:
-                scope = classify(ev.name)
+                scope = classify(ev.name, op_names)
                 per_scope[scope] += ev.duration_ns
                 per_scope_ops[scope][ev.name] += ev.duration_ns
                 ivs.append((ev.start_ns, ev.start_ns + ev.duration_ns))
