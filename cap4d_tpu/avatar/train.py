@@ -30,14 +30,34 @@ from cap4d_tpu.mmdm.model import load_yaml
 from cap4d_tpu.utils.compile_cache import enable_compile_cache
 
 
+_ONES_MASKS: Dict[tuple, jax.Array] = {}
+
+
 def _step_args(trainer, cam, lrs, lam_lpips, adam_step):
     """One iteration's argument tuple for the jitted step. Centralised so
     the loop, the pre-loop cap probe and the AOT compiler all construct
     identically-typed arguments (executable calls are aval-strict —
-    including weak types, hence the explicit dtypes on the scalars)."""
-    gt = jnp.asarray(cam.image)
-    mask = jnp.asarray(cam.mask if cam.mask is not None
-                       else np.ones((cam.height, cam.width), np.float32))
+    including weak types, hence the explicit dtypes on the scalars).
+
+    gt/mask are device-cached on the camera: re-uploading the 512² f32
+    image through the TPU tunnel every iteration measured ~30-50 ms/iter
+    of the 10k-fit wall gap (device step is 68 ms; the wall was ~125 ms).
+    Each camera is revisited ~iterations/n_views times, so the first epoch
+    pays the transfers once and every later epoch hits HBM directly."""
+    gt = getattr(cam, "_gt_dev", None)
+    if gt is None:
+        gt = cam._gt_dev = jax.device_put(jnp.asarray(cam.image))
+    mask = getattr(cam, "_mask_dev", None)
+    if mask is None:
+        if cam.mask is not None:
+            mask = jax.device_put(jnp.asarray(cam.mask))
+        else:
+            hw = (cam.height, cam.width)
+            mask = _ONES_MASKS.get(hw)
+            if mask is None:
+                mask = _ONES_MASKS[hw] = jax.device_put(
+                    jnp.ones(hw, jnp.float32))
+        cam._mask_dev = mask
     cam_in = {"rt": jnp.asarray(cam.rt), "K": jnp.asarray(cam.intrinsics)}
     return (trainer.gauss_params, trainer.deform_params, trainer.neck_weight,
             trainer.gauss_aux, trainer.moments, trainer.flame_bank,
@@ -163,6 +183,7 @@ def training(
     compiler = AsyncStepCompiler(trainer)
     n_iter = opt_params["iterations"]
     ema_loss = 0.0
+    log_pending = None
     _warned_cap_ceiling = False
     adam_step = 0
     _probe_and_grow_caps(trainer, compiler, cams[order[0]])
@@ -272,9 +293,21 @@ def training(
                     (trainer.moments["gauss_m"], trainer.moments["gauss_v"]))
                 trainer.moments["gauss_m"], trainer.moments["gauss_v"] = gm
 
-        # fetch losses only at log boundaries: a per-iteration device sync
-        # serialises the async dispatch queue and dominates step time
+        # fetch losses only at log boundaries, and one boundary LATE: the
+        # previous boundary's buffers are long since computed, so their
+        # fetch returns without draining the 10-step dispatch queue (a
+        # fetch of the just-dispatched step stalls until the whole queue
+        # executes — measured ~10-20 ms/iter of relay wall on the tunnel).
+        # The final iteration fetches its own losses so the last record is
+        # exact.
         if iteration % 10 == 0 or iteration == n_iter:
+            prev = log_pending
+            log_pending = (iteration, losses, is_current_gen)
+            if iteration == n_iter:
+                prev = log_pending
+            if prev is None:
+                prev = log_pending  # first boundary: fetch current
+            log_iter, losses, is_current_gen = prev
             total = float(losses["total"])
             ema_loss = 0.4 * total + 0.6 * ema_loss
             # splats dropped by a rasterizer cap bias the render and the
@@ -325,11 +358,11 @@ def training(
             n_active = int(trainer.gauss_aux.n_active)
             elapsed = time.perf_counter() - t_start
             metrics_fh.write(json.dumps(
-                {"iter": iteration, "loss": total,
+                {"iter": log_iter, "loss": total,
                  "elapsed_s": round(elapsed, 3), "n_active": n_active,
                  **{k: float(v) for k, v in losses.items()}}) + "\n")
-            print(f"[{iteration}/{n_iter}] loss={ema_loss:.5f} "
-                  f"gaussians={n_active} it/s={iteration / max(elapsed, 1e-9):.2f}")
+            print(f"[{log_iter}/{n_iter}] loss={ema_loss:.5f} "
+                  f"gaussians={n_active} it/s={log_iter / max(elapsed, 1e-9):.2f}")
             metrics_fh.flush()
 
         if iteration in testing_iterations:
