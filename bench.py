@@ -240,11 +240,10 @@ def build_fit_step(res=512):
     gt = jnp.asarray(cam.image)
     mask = jnp.ones((cam.height, cam.width), jnp.float32)
     cam_in = {"rt": jnp.asarray(cam.rt), "K": jnp.asarray(cam.intrinsics)}
-    lrs = {k: jnp.float32(v) for k, v in
-           (("xyz", 5e-3), ("deform", 1e-5), ("neck", 1e-5))}
 
+    # lr schedules now run in-step off the iteration scalar (expon_lr_traced)
     fixed = (trainer.flame_bank, cam_in, gt, mask,
-             jnp.asarray(cam.timestep), lrs)
+             jnp.asarray(cam.timestep))
     n_active = int(trainer.gauss_aux.n_active)  # before the step donates it
 
     # honest-workload guard: probe one (undonated) step and grow the raster
@@ -279,15 +278,15 @@ def bench_fit(iters=20):
     import jax.numpy as jnp
 
     step_fn, fixed, state, n_active = build_fit_step()
-    bank, cam_in, gt, mask, t, lrs = fixed
+    bank, cam_in, gt, mask, t = fixed
 
     def run(state, n, k0):
         t0 = time.perf_counter()
         for k in range(n):
             gp, dp, neck, aux, moments = state
             gp, dp, neck, aux, moments, losses, _ = step_fn(
-                gp, dp, neck, aux, moments, bank, cam_in, gt, mask, t, lrs,
-                jnp.float32(0.0), jnp.float32(k0 + k + 1))
+                gp, dp, neck, aux, moments, bank, cam_in, gt, mask, t,
+                jnp.float32(k0 + k + 1), jnp.float32(k0 + k + 1))
             state = (gp, dp, neck, aux, moments)
         _sync(losses["total"])
         return state, time.perf_counter() - t0

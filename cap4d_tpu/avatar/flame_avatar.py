@@ -174,11 +174,11 @@ def _uv_resample_planned(vt, bary_cm, cat, order, bounds):
 
 def _uv_resample_planned_fwd(vt, bary_cm, cat, order, bounds):
     out = _uv_resample_planned(vt, bary_cm, cat, order, bounds)
-    return out, (bary_cm, order, bounds)
+    return out, (bary_cm, order, bounds, vt.shape[1])
 
 
 def _uv_resample_planned_bwd(res, g):
-    bary_cm, order, bounds = res
+    bary_cm, order, bounds, n_verts = res
     T, D = g.shape
     g_cm = jnp.transpose(g)                             # (D, T)
     c = jnp.tile(g_cm, (1, 3)) * bary_cm.reshape(1, -1)  # (D, 3T), slot k·T+t
@@ -186,7 +186,14 @@ def _uv_resample_planned_bwd(res, g):
     sc = jnp.take(c, order, axis=1)                     # sorted by vertex id
     cs = jnp.cumsum(sc, axis=1)
     cs0 = jnp.concatenate([jnp.zeros((D, 1), cs.dtype), cs], axis=1)
-    d_vt = cs0[:, bounds[1:]] - cs0[:, bounds[:-1]]     # (D, V)
+    d_vt = cs0[:, bounds[1:]] - cs0[:, bounds[:-1]]     # (D, V_referenced)
+    if d_vt.shape[1] != n_verts:
+        # verts past the UV plan's bound (e.g. the 200 procedural lower-jaw
+        # copies appended after the mouth: template faces never reference
+        # them) get the true adjoint — zero. Without the pad the bwd rule
+        # returns (D, 5223) against a (D, 5423) primal and jit refuses to
+        # lower any fit whose FLAME variant has the lower jaw enabled.
+        d_vt = jnp.pad(d_vt, ((0, 0), (0, n_verts - d_vt.shape[1])))
     return d_vt, None, None, None, None
 
 

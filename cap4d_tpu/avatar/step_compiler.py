@@ -42,7 +42,8 @@ _GP_FIELDS = ("xyz", "features_dc", "features_rest", "scaling", "rotation",
               "opacity")
 
 # step-arg layout: (gp, dp, neck, aux, moments, bank, cam, gt, mask, t,
-#                   lrs, lambda_lpips, adam_step) — trainer._build_train_step
+#                   iteration, adam_step) — trainer._build_train_step
+# (lr schedules + LPIPS ramp run in-step off the iteration scalar)
 _N_STATE_ARGS = 5
 
 

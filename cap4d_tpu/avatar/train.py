@@ -25,7 +25,7 @@ from cap4d_tpu.avatar.losses import l1_loss, psnr, ssim
 from cap4d_tpu.avatar.lpips import load_lpips
 from cap4d_tpu.avatar.scene import dump_cameras_json, load_cap4d_dataset
 from cap4d_tpu.avatar.step_compiler import AsyncStepCompiler
-from cap4d_tpu.avatar.trainer import AvatarTrainer, expon_lr, search_max_iteration
+from cap4d_tpu.avatar.trainer import AvatarTrainer, search_max_iteration
 from cap4d_tpu.mmdm.model import load_yaml
 from cap4d_tpu.utils.compile_cache import enable_compile_cache
 
@@ -33,20 +33,26 @@ from cap4d_tpu.utils.compile_cache import enable_compile_cache
 _ONES_MASKS: Dict[tuple, jax.Array] = {}
 
 
-def _step_args(trainer, cam, lrs, lam_lpips, adam_step):
+def _step_args(trainer, cam, iteration, adam_step):
     """One iteration's argument tuple for the jitted step. Centralised so
     the loop, the pre-loop cap probe and the AOT compiler all construct
     identically-typed arguments (executable calls are aval-strict —
     including weak types, hence the explicit dtypes on the scalars).
 
-    gt/mask are device-cached on the camera: re-uploading the 512² f32
-    image through the TPU tunnel every iteration measured ~30-50 ms/iter
-    of the 10k-fit wall gap (device step is 68 ms; the wall was ~125 ms).
-    Each camera is revisited ~iterations/n_views times, so the first epoch
-    pays the transfers once and every later epoch hits HBM directly."""
+    Everything camera-derived is device-cached on the camera object, and
+    the lr schedules/LPIPS ramp run inside the step off the iteration
+    scalar: re-uploading the 512² f32 image plus ~8 small arrays through
+    the TPU tunnel every iteration measured as most of the 10k-fit wall
+    gap (device step is 68 ms; the wall was ~125 ms). Each camera is
+    revisited ~iterations/n_views times, so the first epoch pays the
+    transfers once and every later epoch hits HBM directly."""
     gt = getattr(cam, "_gt_dev", None)
     if gt is None:
         gt = cam._gt_dev = jax.device_put(jnp.asarray(cam.image))
+        cam._cam_dev = {"rt": jax.device_put(jnp.asarray(cam.rt)),
+                        "K": jax.device_put(jnp.asarray(cam.intrinsics))}
+        cam._t_dev = jax.device_put(
+            jnp.asarray(int(cam.timestep), jnp.int32))
     mask = getattr(cam, "_mask_dev", None)
     if mask is None:
         if cam.mask is not None:
@@ -58,12 +64,10 @@ def _step_args(trainer, cam, lrs, lam_lpips, adam_step):
                 mask = _ONES_MASKS[hw] = jax.device_put(
                     jnp.ones(hw, jnp.float32))
         cam._mask_dev = mask
-    cam_in = {"rt": jnp.asarray(cam.rt), "K": jnp.asarray(cam.intrinsics)}
     return (trainer.gauss_params, trainer.deform_params, trainer.neck_weight,
             trainer.gauss_aux, trainer.moments, trainer.flame_bank,
-            cam_in, gt, mask, jnp.asarray(int(cam.timestep), jnp.int32),
-            {k: jnp.float32(v) for k, v in lrs.items()},
-            jnp.float32(lam_lpips), jnp.float32(adam_step))
+            cam._cam_dev, gt, mask, cam._t_dev,
+            jnp.float32(iteration), jnp.float32(adam_step))
 
 
 def _probe_and_grow_caps(trainer, compiler, cam, max_rounds=6):
@@ -75,9 +79,8 @@ def _probe_and_grow_caps(trainer, compiler, cam, max_rounds=6):
     starts with settled caps instead of discovering them over the first
     few hundred iterations with clipped gradients."""
     key = (cam.width, cam.height, trainer.active_sh_degree)
-    lrs0 = {"xyz": 0.0, "deform": 0.0, "neck": 0.0}
     for _ in range(max_rounds):
-        args = _step_args(trainer, cam, lrs0, 0.0, 1)
+        args = _step_args(trainer, cam, 0.0, 1)
         compiler.note_args(key, args)
         step_fn = compiler.get_current(key)
         state = jax.tree.map(jnp.copy, args[:5])  # the step donates its state
@@ -209,36 +212,11 @@ def training(
 
         key = (cam.width, cam.height, trainer.active_sh_degree)
 
-        # scheduled lrs (cap4d_gaussian_model.py:426-441); xyz is scaled by
-        # cameras_extent (gaussian_model.py:216,225-228 — 1.0 for CAP4D,
-        # 2.0 for the SMPL dataset, dataset_readers.py:608,665)
-        sls = trainer.spatial_lr_scale
-        lrs = {
-            "xyz": expon_lr(iteration,
-                            opt_params["position_lr_init"] * sls,
-                            opt_params["position_lr_final"] * sls,
-                            lr_delay_mult=opt_params["position_lr_delay_mult"],
-                            max_steps=opt_params["position_lr_max_steps"]),
-            "deform": expon_lr(iteration, opt_params["deform_net_lr_init"],
-                               opt_params["deform_net_lr_final"],
-                               lr_delay_mult=opt_params["deform_net_lr_delay_mult"],
-                               max_steps=opt_params["deform_net_lr_max_steps"]),
-            "neck": expon_lr(iteration, opt_params["neck_lr_init"],
-                             opt_params["neck_lr_final"],
-                             lr_delay_mult=opt_params["neck_lr_delay_mult"],
-                             max_steps=opt_params["neck_lr_max_steps"]),
-        }
-        # LPIPS ramp (train.py:154-158)
-        lam_lpips = 0.0
-        if iteration > opt_params["lpips_linear_start"]:
-            lam_lpips = min(
-                (iteration - opt_params["lpips_linear_start"])
-                / (opt_params["lpips_linear_end"] - opt_params["lpips_linear_start"])
-                * opt_params["lambda_lpips_end"],
-                opt_params["lambda_lpips_end"])
-
+        # lr schedules (cap4d_gaussian_model.py:426-441; xyz scaled by
+        # cameras_extent) + LPIPS ramp (train.py:154-158) both run INSIDE
+        # the jitted step off the iteration scalar — see expon_lr_traced
         adam_step += 1
-        args = _step_args(trainer, cam, lrs, lam_lpips, adam_step)
+        args = _step_args(trainer, cam, iteration, adam_step)
         compiler.note_args(key, args)
         step_fn, is_current_gen = compiler.get(key)
 

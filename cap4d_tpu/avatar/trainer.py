@@ -108,6 +108,23 @@ def expon_lr(step, lr_init, lr_final, lr_delay_steps=0, lr_delay_mult=1.0,
     return delay * np.exp(np.log(lr_init) * (1 - t) + np.log(lr_final) * t)
 
 
+def expon_lr_traced(step, lr_init, lr_final, lr_delay_steps=0,
+                    lr_delay_mult=1.0, max_steps=1_000_000):
+    """:func:`expon_lr` with a traced ``step`` — the schedule runs INSIDE the
+    jitted train step so the loop ships one iteration scalar per step instead
+    of re-uploading three freshly-built lr scalars through the TPU tunnel
+    every iteration. All schedule constants stay static Python floats."""
+    if lr_init == 0.0 and lr_final == 0.0:
+        return jnp.float32(0.0)
+    if lr_delay_steps > 0:
+        delay = lr_delay_mult + (1 - lr_delay_mult) * jnp.sin(
+            0.5 * jnp.pi * jnp.clip(step / lr_delay_steps, 0, 1))
+    else:
+        delay = 1.0
+    t = jnp.clip(step / max_steps, 0, 1)
+    return delay * jnp.exp(np.log(lr_init) * (1 - t) + np.log(lr_final) * t)
+
+
 def adam_update(p, g, m, v, step, lr, eps=1e-15, b1=0.9, b2=0.999, wd=0.0):
     """torch.optim.Adam semantics (L2 via grad, bias correction)."""
     g = g + wd * p
@@ -561,8 +578,38 @@ class AvatarTrainer:
             total = sum(losses.values())
             return total, (losses, image, out)
 
+        sls = self.spatial_lr_scale
+
         def step(gp, dp, neck, aux, moments, bank, cam, gt_image, mask, t,
-                 lrs, lambda_lpips, adam_step):
+                 iteration, adam_step):
+            # lr schedules + LPIPS ramp computed IN-STEP from the iteration
+            # scalar (train.py:117,152-158 semantics): the loop then ships
+            # one f32 per iteration where it used to build and upload five —
+            # each tiny host→device transfer pays tunnel latency, measured
+            # as a large share of the 10k-fit's wall gap vs the bench rate.
+            lrs = {
+                "xyz": expon_lr_traced(
+                    iteration,
+                    opt["position_lr_init"] * sls,
+                    opt["position_lr_final"] * sls,
+                    lr_delay_mult=opt["position_lr_delay_mult"],
+                    max_steps=opt["position_lr_max_steps"]),
+                "deform": expon_lr_traced(
+                    iteration,
+                    opt["deform_net_lr_init"], opt["deform_net_lr_final"],
+                    lr_delay_mult=opt["deform_net_lr_delay_mult"],
+                    max_steps=opt["deform_net_lr_max_steps"]),
+                "neck": expon_lr_traced(
+                    iteration,
+                    opt["neck_lr_init"], opt["neck_lr_final"],
+                    lr_delay_mult=opt["neck_lr_delay_mult"],
+                    max_steps=opt["neck_lr_max_steps"]),
+            }
+            ramp_span = max(
+                opt["lpips_linear_end"] - opt["lpips_linear_start"], 1)
+            lambda_lpips = jnp.clip(
+                (iteration - opt["lpips_linear_start"]) / ramp_span,
+                0.0, 1.0) * opt["lambda_lpips_end"]
             trainable = {"gauss": gp, "deform": dp, "neck": neck,
                          "m2d": jnp.zeros((gp.xyz.shape[0], 2))}
             with jax.named_scope("value_and_grad"):

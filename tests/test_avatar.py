@@ -248,6 +248,20 @@ def test_uv_resample_planned_parity():
     np.testing.assert_allclose(np.asarray(g0), np.asarray(g1),
                                rtol=1e-5, atol=1e-5)
 
+    # verts appended PAST the UV plan (the lower-jaw copies: flame adds 200
+    # procedural verts the avatar template's faces never reference). The
+    # planned adjoint must pad their gradient with zeros instead of
+    # returning a (D, V_referenced) cotangent that jit refuses to lower.
+    extra = rng.normal(size=(7, 3)).astype(np.float32)
+    vx = jnp.concatenate([vj, jnp.asarray(extra)], axis=0)
+    r2 = uv_resample_vjp(uv, vx)
+    np.testing.assert_allclose(np.asarray(r2), np.asarray(r1),
+                               rtol=1e-6, atol=1e-6)
+    g2 = jax.jit(jax.grad(lambda v: jnp.sum(uv_resample_vjp(uv, v) * co)))(vx)
+    np.testing.assert_allclose(np.asarray(g2[:V]), np.asarray(g1),
+                               rtol=1e-5, atol=1e-5)
+    assert np.all(np.asarray(g2[V:]) == 0.0)
+
 
 def test_world_gaussians_pack_matches_dense():
     from cap4d_tpu.avatar.binding import face_frame_pack, rotmat_to_quat

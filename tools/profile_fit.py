@@ -74,11 +74,11 @@ def main():
     import jax.numpy as jnp
 
     step_fn, fixed, state, n_active = build_fit_step()
-    bank, cam_in, gt, mask, t, lrs = fixed
+    bank, cam_in, gt, mask, t = fixed
 
     # optimized-HLO op_name map for scope attribution
     compiled = step_fn.lower(
-        *state, bank, cam_in, gt, mask, t, lrs,
+        *state, bank, cam_in, gt, mask, t,
         jnp.float32(0.0), jnp.float32(1.0)).compile()
     op_names = hlo_op_names(compiled)
     print(f"{len(op_names)} HLO instructions carry op_name metadata")
@@ -87,7 +87,7 @@ def main():
         for k in range(n):
             gp, dp, neck, aux, moments = state
             gp, dp, neck, aux, moments, losses, _ = step_fn(
-                gp, dp, neck, aux, moments, bank, cam_in, gt, mask, t, lrs,
+                gp, dp, neck, aux, moments, bank, cam_in, gt, mask, t,
                 jnp.float32(0.0), jnp.float32(k0 + k + 1))
             state = (gp, dp, neck, aux, moments)
         np.asarray(losses["total"])
