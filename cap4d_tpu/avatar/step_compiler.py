@@ -41,8 +41,11 @@ from cap4d_tpu.avatar import gaussians as G
 _GP_FIELDS = ("xyz", "features_dc", "features_rest", "scaling", "rotation",
               "opacity")
 
-# step-arg layout: (gp, dp, neck, aux, moments, bank, cam, gt, mask, t,
-#                   iteration, adam_step) — trainer._build_train_step
+# step-arg layouts (state first, everything else passes through):
+#   per-step:  (gp, dp, neck, aux, moments, bank, cam, gt, mask, t,
+#               iteration, adam_step)      — trainer._build_train_step
+#   chunked:   (gp, dp, neck, aux, moments, bank, cam_bank, meta)
+#                                          — trainer._build_train_chunk
 # (lr schedules + LPIPS ramp run in-step off the iteration scalar)
 _N_STATE_ARGS = 5
 
@@ -87,8 +90,9 @@ class AsyncStepCompiler:
     and blocks only when NO generation is ready (the first compile of a
     key, which the loop cannot proceed without)."""
 
-    def __init__(self, trainer, workers: int = 2):
+    def __init__(self, trainer, workers: int = 2, chunked: bool = False):
         self._trainer = trainer
+        self._chunked = chunked
         self._pool = ThreadPoolExecutor(max_workers=workers,
                                         thread_name_prefix="stepcompile")
         self._gen = 0
@@ -140,7 +144,9 @@ class AsyncStepCompiler:
             args = grow_state_args(args, capacity)
         # build on the loop thread: _build_train_step snapshots the
         # trainer's caps (and syncs n_active) at call time
-        jitted = self._trainer._build_train_step(*key, capacity=capacity)
+        build = (self._trainer._build_train_chunk if self._chunked
+                 else self._trainer._build_train_step)
+        jitted = build(*key, capacity=capacity)
         fut = self._pool.submit(lambda: jitted.lower(*args).compile())
         self._pending[(key, gen)] = fut
         return fut

@@ -32,6 +32,83 @@ from cap4d_tpu.utils.compile_cache import enable_compile_cache
 
 _ONES_MASKS: Dict[tuple, jax.Array] = {}
 
+# iterations per jitted dispatch (trainer._build_train_chunk): through the
+# TPU tunnel every dispatch + tiny scalar upload costs host latency the
+# device never sees (~40 ms/iter measured on the 10k default fit — a 14.6
+# it/s device step ran at ~9 it/s wall); one dispatch per 10 steps
+# amortises it to noise. All loop events (log every 10, SH warmup,
+# densify/opacity cadence, eval/checkpoint intervals) cut chunks exactly,
+# so semantics are per-iteration identical.
+CHUNK_LEN = 10
+
+
+def _build_cam_bank(cams):
+    """Device-resident camera bank for the chunked loop, or None when the
+    train split mixes resolutions (per-step fallback). gt is stored uint8
+    when every image is exactly 8-bit (PNG-loaded — the CLI case; /255
+    in-step reproduces the float pipeline bit-for-bit), f32 otherwise
+    (synthetic float scenes in the quality tools must not be quantized)."""
+    if not cams:
+        return None
+    hw = (cams[0].height, cams[0].width)
+    if any((c.height, c.width) != hw for c in cams):
+        return None
+    from PIL import Image
+
+    N, (H, W) = len(cams), hw
+    images = []            # per-cam uint8 (exactly-8-bit) or f32 arrays
+    all_8bit = True
+    mask = np.ones((N, H, W), np.float32)
+    for i, c in enumerate(cams):
+        if c._image is None and c.image_path is not None:
+            with Image.open(c.image_path) as img:
+                images.append(np.asarray(img)[..., :3].astype(np.uint8))
+        else:
+            im = c.image
+            if im is None:
+                im = np.zeros((H, W, 3), np.float32)
+            scaled = np.asarray(im, np.float32) * 255.0
+            rounded = np.rint(scaled)
+            if np.max(np.abs(scaled - rounded)) < 1e-3:
+                images.append(rounded.astype(np.uint8))
+            else:
+                images.append(np.asarray(im, np.float32))
+                all_8bit = False
+        if c.mask is not None:
+            mask[i] = np.asarray(c.mask, np.float32)
+    if all_8bit:
+        gt = np.stack(images)
+    else:
+        gt = np.stack([im.astype(np.float32) / 255.0
+                       if im.dtype == np.uint8 else im for im in images])
+    return {
+        "rt": jax.device_put(jnp.asarray(
+            np.stack([c.rt for c in cams]).astype(np.float32))),
+        "K": jax.device_put(jnp.asarray(
+            np.stack([c.intrinsics for c in cams]).astype(np.float32))),
+        "gt": jax.device_put(jnp.asarray(gt)),
+        "mask": jax.device_put(jnp.asarray(mask)),
+        "t": jax.device_put(jnp.asarray(
+            np.array([int(c.timestep) for c in cams], np.int32))),
+    }
+
+
+def _chunk_args(trainer, cam_bank, meta_np):
+    return (trainer.gauss_params, trainer.deform_params, trainer.neck_weight,
+            trainer.gauss_aux, trainer.moments, trainer.flame_bank,
+            cam_bank, jnp.asarray(meta_np))
+
+
+def _chunk_meta(i0, adam0, idxs):
+    """meta int32 vector: [iteration0, adam_step0, k_eff, cam indices
+    (padded by repeating the last — padded lanes run but their update is
+    discarded in-chunk)]."""
+    meta = np.empty(3 + CHUNK_LEN, np.int32)
+    meta[0], meta[1], meta[2] = i0, adam0, len(idxs)
+    meta[3:3 + len(idxs)] = idxs
+    meta[3 + len(idxs):] = idxs[-1]
+    return meta
+
 
 def _step_args(trainer, cam, iteration, adam_step):
     """One iteration's argument tuple for the jitted step. Centralised so
@@ -70,7 +147,8 @@ def _step_args(trainer, cam, iteration, adam_step):
             jnp.float32(iteration), jnp.float32(adam_step))
 
 
-def _probe_and_grow_caps(trainer, compiler, cam, max_rounds=6):
+def _probe_and_grow_caps(trainer, compiler, cam, cam_bank=None, cam_idx=0,
+                         max_rounds=6):
     """Pre-grow the raster caps before iteration 1: run one undonated step
     on state copies and raise the caps until footprints stop truncating
     (the loop bench.build_fit_step runs). The probed executables ARE the
@@ -80,13 +158,17 @@ def _probe_and_grow_caps(trainer, compiler, cam, max_rounds=6):
     few hundred iterations with clipped gradients."""
     key = (cam.width, cam.height, trainer.active_sh_degree)
     for _ in range(max_rounds):
-        args = _step_args(trainer, cam, 0.0, 1)
+        if cam_bank is not None:
+            args = _chunk_args(trainer, cam_bank, _chunk_meta(0, 1, [cam_idx]))
+        else:
+            args = _step_args(trainer, cam, 0.0, 1)
         compiler.note_args(key, args)
         step_fn = compiler.get_current(key)
         state = jax.tree.map(jnp.copy, args[:5])  # the step donates its state
         losses = step_fn(*state, *args[5:])[5]
-        n_tr = int(losses["n_truncated"])
-        n_trd = int(losses["n_truncated_depth"])
+        # chunked losses come back stacked; the probe reads lane 0 (k_eff=1)
+        n_tr = int(np.atleast_1d(np.asarray(losses["n_truncated"]))[0])
+        n_trd = int(np.atleast_1d(np.asarray(losses["n_truncated_depth"]))[0])
         n_act = int(trainer.gauss_aux.n_active)
         grow_foot = (n_tr > max(64, n_act // 1000)
                      and not trainer.raster_caps_at_ceiling)
@@ -115,6 +197,7 @@ def training(
     variant: str = "flame",
     smpl_asset_dir: str | Path = "data/assets/smpl",
     n_max_val_images: int = 10,
+    chunked: Optional[bool] = None,
 ) -> AvatarTrainer:
     from cap4d_tpu.mmdm.model import _coerce_numbers
 
@@ -181,55 +264,182 @@ def training(
     order = rng.permutation(len(cams))
     order_pos = 0
 
+    def take_indices(k: int) -> List[int]:
+        nonlocal order, order_pos
+        out = []
+        while len(out) < k:
+            if order_pos >= len(order):
+                order = rng.permutation(len(cams))
+                order_pos = 0
+            out.append(int(order[order_pos]))
+            order_pos += 1
+        return out
+
     metrics_path = model_path / "metrics.jsonl"
     metrics_fh = open(metrics_path, "a")
-    compiler = AsyncStepCompiler(trainer)
     n_iter = opt_params["iterations"]
+    # chunked dispatch only pays off when the fit is long enough to amortise
+    # the scan executable's compile (auto: real fits yes, tiny test fits no)
+    use_chunks = (chunked if chunked is not None
+                  else n_iter - first_iter >= 100)
+    cam_bank = _build_cam_bank(cams) if use_chunks else None
+    compiler = AsyncStepCompiler(trainer, chunked=cam_bank is not None)
+    sh_max = trainer.config.sh_degree
     ema_loss = 0.0
     log_pending = None
     _warned_cap_ceiling = False
     adam_step = 0
-    _probe_and_grow_caps(trainer, compiler, cams[order[0]])
+    _probe_and_grow_caps(trainer, compiler, cams[order[0]],
+                         cam_bank=cam_bank, cam_idx=int(order[0]))
     t_start = time.perf_counter()
 
-    for iteration in range(first_iter + 1, n_iter + 1):
-        # SH warmup (train.py:120-121)
-        if iteration % opt_params["sh_warmup_iterations"] == 0:
-            trainer.active_sh_degree = min(
-                trainer.active_sh_degree + 1, trainer.config.sh_degree)
+    def _after_event(it: int) -> bool:
+        """Loop events that need the exact post-``it`` state on the host —
+        a dispatch block must END at these iterations."""
+        if it in testing_iterations or it in checkpoint_iterations:
+            return True
+        if it < opt_params["densify_until_iter"]:
+            if (it > opt_params["densify_from_iter"]
+                    and it % opt_params["densification_interval"] == 0):
+                return True
+            if (it % opt_params["opacity_reset_interval"] == 0
+                    or it == opt_params["densify_from_iter"]):
+                return True
+        return False
+
+    def _process_log(entry) -> None:
+        """Fetch + report a finished block's stacked losses: metrics lines at
+        every 10-boundary inside it, and the truncation-counter reaction
+        (max over the block). Called one block LATE so the fetch returns
+        without draining the in-flight dispatch."""
+        nonlocal ema_loss, _warned_cap_ceiling
+        e_i0, e_k, e_losses, e_cur = entry
+        vals = {k: np.atleast_1d(np.asarray(v))[:e_k]
+                for k, v in e_losses.items()}
+        e_end = e_i0 + e_k - 1
+        log_iters = [it for it in range(e_i0, e_end + 1) if it % 10 == 0]
+        if e_end == n_iter and e_end % 10 != 0:
+            log_iters.append(e_end)
+        n_active = int(trainer.gauss_aux.n_active)
+        for it in log_iters:
+            lane = it - e_i0
+            total = float(vals["total"][lane])
+            ema_loss = 0.4 * total + 0.6 * ema_loss
+            elapsed = time.perf_counter() - t_start
+            metrics_fh.write(json.dumps(
+                {"iter": it, "loss": total,
+                 "elapsed_s": round(elapsed, 3), "n_active": n_active,
+                 **{k: float(v[lane]) for k, v in vals.items()}}) + "\n")
+            print(f"[{it}/{n_iter}] loss={ema_loss:.5f} "
+                  f"gaussians={n_active} it/s={it / max(elapsed, 1e-9):.2f}")
+            metrics_fh.flush()
+        # splats dropped by a rasterizer cap bias the render and the
+        # densification gradients invisibly — raise the cap and recompile,
+        # exactly like n_dropped → grow_capacity below. Footprint
+        # truncation only CLIPS a splat's outer tiles (the 3σ bbox past
+        # the side×side window), so a handful of outliers doesn't justify
+        # a recompile + quadratically larger pair buffer: raise only past
+        # a 0.1% tolerance (the count still lands in metrics.jsonl), and
+        # stop at the window ceilings (a 13×13 big window ≈ a 104-px-radius
+        # splat at 16px tiles).
+        tr_foot = int(vals["n_truncated"].max())
+        tr_depth = int(vals["n_truncated_depth"].max())
+        over_tolerance = tr_foot > max(64, n_active // 1000)
+        # only react to counters measured by a CURRENT-generation step:
+        # while a grown-caps compile is pending the old executable keeps
+        # truncating by construction, and a pending capacity swap will
+        # invalidate whatever we'd compile here
+        can_react = e_cur and not compiler.capacity_pending
+        grow_foot = (over_tolerance and can_react
+                     and not trainer.raster_caps_at_ceiling)
+        if (over_tolerance and not grow_foot and can_react
+                and trainer.raster_caps_at_ceiling
+                and not _warned_cap_ceiling):
+            # cap already at its ceiling: persistent truncation can no
+            # longer be acted on — surface it once instead of only
+            # counting it in metrics.jsonl
+            _warned_cap_ceiling = True
+            print(f"[ITER {e_end}] WARNING: {tr_foot} splats keep "
+                  f"exceeding the footprint cap with "
+                  f"max_tiles_per_gaussian/big_tiles_per_gaussian "
+                  f"already at their ceilings "
+                  f"({trainer.max_tiles_per_gaussian}/"
+                  f"{trainer.big_tiles_per_gaussian}); their outer "
+                  f"tiles are clipped. The scene likely has pathological "
+                  f"giant splats (see metrics.jsonl n_truncated).")
+        if grow_foot or (tr_depth and can_react):
+            trainer.grow_raster_caps(footprint=grow_foot,
+                                     depth=tr_depth > 0)
+            compiler.bump_caps()
+            print(f"[ITER {e_end}] raster caps raised "
+                  f"(footprint_truncated={tr_foot}, "
+                  f"depth_truncated={tr_depth}) -> "
+                  f"max_tiles_per_gaussian={trainer.max_tiles_per_gaussian}, "
+                  f"max_per_tile={trainer.max_per_tile} "
+                  f"(compiling in the background; stepping continues "
+                  f"with the old caps)")
+
+    iteration = first_iter
+    while iteration < n_iter:
+        i0 = iteration + 1
+        # SH warmup (train.py:120-121): bump BEFORE stepping a warmup multiple
+        if i0 % opt_params["sh_warmup_iterations"] == 0:
+            trainer.active_sh_degree = min(trainer.active_sh_degree + 1,
+                                           sh_max)
 
         # a background-compiled grown-capacity step may have landed: pad the
         # store and swap executables without ever having stalled the loop
         if compiler.poll_capacity():
-            print(f"[ITER {iteration}] grown-capacity step ready — store "
+            print(f"[ITER {i0}] grown-capacity step ready — store "
                   f"padded to {trainer.gauss_params.xyz.shape[0]}")
 
-        if order_pos >= len(order):
-            order = rng.permutation(len(cams))
-            order_pos = 0
-        cam = cams[order[order_pos]]
-        order_pos += 1
+        # block length: up to CHUNK_LEN iterations in one dispatch, cut
+        # BEFORE the next SH-warmup bump and AT the first after-event
+        K = min(CHUNK_LEN if cam_bank is not None else 1, n_iter - i0 + 1)
+        for j in range(1, K):
+            if ((i0 + j) % opt_params["sh_warmup_iterations"] == 0
+                    and trainer.active_sh_degree < sh_max):
+                K = j
+                break
+        for j in range(K):
+            if _after_event(i0 + j):
+                K = j + 1
+                break
 
+        idxs = take_indices(K)
+        cam = cams[idxs[-1]]
         key = (cam.width, cam.height, trainer.active_sh_degree)
 
         # lr schedules (cap4d_gaussian_model.py:426-441; xyz scaled by
         # cameras_extent) + LPIPS ramp (train.py:154-158) both run INSIDE
         # the jitted step off the iteration scalar — see expon_lr_traced
-        adam_step += 1
-        args = _step_args(trainer, cam, iteration, adam_step)
-        compiler.note_args(key, args)
-        step_fn, is_current_gen = compiler.get(key)
-
-        (trainer.gauss_params, trainer.deform_params, trainer.neck_weight,
-         trainer.gauss_aux, trainer.moments, losses, _img) = step_fn(*args)
+        if cam_bank is not None:
+            args = _chunk_args(trainer, cam_bank,
+                               _chunk_meta(i0, adam_step + 1, idxs))
+            compiler.note_args(key, args)
+            step_fn, is_current_gen = compiler.get(key)
+            (trainer.gauss_params, trainer.deform_params,
+             trainer.neck_weight, trainer.gauss_aux, trainer.moments,
+             losses) = step_fn(*args)
+        else:  # per-step fallback (mixed-resolution scenes); K == 1
+            args = _step_args(trainer, cam, i0, adam_step + 1)
+            compiler.note_args(key, args)
+            step_fn, is_current_gen = compiler.get(key)
+            (trainer.gauss_params, trainer.deform_params,
+             trainer.neck_weight, trainer.gauss_aux, trainer.moments,
+             losses, _img) = step_fn(*args)
+        adam_step += K
+        iteration = i0 + K - 1
+        trainer.iteration = iteration
 
         # prefetch the warmup schedule's next SH degree so the boundary
         # costs no stall (dedup'd inside prefetch)
-        if trainer.active_sh_degree < trainer.config.sh_degree:
+        if trainer.active_sh_degree < sh_max:
             compiler.prefetch((cam.width, cam.height,
                                trainer.active_sh_degree + 1))
 
-        # Densification (train.py:229-240)
+        # Densification (train.py:229-240) — the block cut guarantees these
+        # fire exactly at the block's last iteration
         if iteration < opt_params["densify_until_iter"]:
             if (iteration > opt_params["densify_from_iter"]
                     and iteration % opt_params["densification_interval"] == 0):
@@ -271,77 +481,24 @@ def training(
                     (trainer.moments["gauss_m"], trainer.moments["gauss_v"]))
                 trainer.moments["gauss_m"], trainer.moments["gauss_v"] = gm
 
-        # fetch losses only at log boundaries, and one boundary LATE: the
-        # previous boundary's buffers are long since computed, so their
-        # fetch returns without draining the 10-step dispatch queue (a
-        # fetch of the just-dispatched step stalls until the whole queue
+        # report one block LATE: the previous block's buffers are long since
+        # computed, so their fetch returns without draining the in-flight
+        # dispatch (a fetch of the just-dispatched block stalls until it
         # executes — measured ~10-20 ms/iter of relay wall on the tunnel).
-        # The final iteration fetches its own losses so the last record is
-        # exact.
-        if iteration % 10 == 0 or iteration == n_iter:
-            prev = log_pending
-            log_pending = (iteration, losses, is_current_gen)
-            if iteration == n_iter:
-                prev = log_pending
-            if prev is None:
-                prev = log_pending  # first boundary: fetch current
-            log_iter, losses, is_current_gen = prev
-            total = float(losses["total"])
-            ema_loss = 0.4 * total + 0.6 * ema_loss
-            # splats dropped by a rasterizer cap bias the render and the
-            # densification gradients invisibly — raise the cap and recompile,
-            # exactly like n_dropped → grow_capacity above. Footprint
-            # truncation only CLIPS a splat's outer tiles (the 3σ bbox past
-            # the side×side window), so a handful of outliers doesn't justify
-            # a recompile + quadratically larger pair buffer: raise only past
-            # a 0.1% tolerance (the count still lands in metrics.jsonl), and
-            # stop at side 7 (49 tiles ≈ a 112-px-radius splat at 16px tiles).
-            n_act = int(trainer.gauss_aux.n_active)
-            tr_foot = int(losses["n_truncated"])
-            tr_depth = int(losses["n_truncated_depth"])
-            over_tolerance = tr_foot > max(64, n_act // 1000)
-            # only react to counters measured by a CURRENT-generation step:
-            # while a grown-caps compile is pending the old executable keeps
-            # truncating by construction, and a pending capacity swap will
-            # invalidate whatever we'd compile here
-            can_react = is_current_gen and not compiler.capacity_pending
-            grow_foot = (over_tolerance and can_react
-                         and not trainer.raster_caps_at_ceiling)
-            if (over_tolerance and not grow_foot and can_react
-                    and trainer.raster_caps_at_ceiling
-                    and not _warned_cap_ceiling):
-                # cap already at its ceiling: persistent truncation can no
-                # longer be acted on — surface it once instead of only
-                # counting it in metrics.jsonl
-                _warned_cap_ceiling = True
-                print(f"[ITER {iteration}] WARNING: {tr_foot} splats keep "
-                      f"exceeding the footprint cap with "
-                      f"max_tiles_per_gaussian/big_tiles_per_gaussian "
-                      f"already at their ceilings "
-                      f"({trainer.max_tiles_per_gaussian}/"
-                      f"{trainer.big_tiles_per_gaussian}); their outer "
-                      f"tiles are clipped. The scene likely has pathological "
-                      f"giant splats (see metrics.jsonl n_truncated).")
-            if grow_foot or (tr_depth and can_react):
-                trainer.grow_raster_caps(footprint=grow_foot,
-                                         depth=tr_depth > 0)
-                compiler.bump_caps()
-                print(f"[ITER {iteration}] raster caps raised "
-                      f"(footprint_truncated={tr_foot}, "
-                      f"depth_truncated={tr_depth}) -> "
-                      f"max_tiles_per_gaussian={trainer.max_tiles_per_gaussian}, "
-                      f"max_per_tile={trainer.max_per_tile} "
-                      f"(compiling in the background; stepping continues "
-                      f"with the old caps)")
-            n_active = int(trainer.gauss_aux.n_active)
-            elapsed = time.perf_counter() - t_start
-            metrics_fh.write(json.dumps(
-                {"iter": log_iter, "loss": total,
-                 "elapsed_s": round(elapsed, 3), "n_active": n_active,
-                 **{k: float(v) for k, v in losses.items()}}) + "\n")
-            print(f"[{log_iter}/{n_iter}] loss={ema_loss:.5f} "
-                  f"gaussians={n_active} it/s={log_iter / max(elapsed, 1e-9):.2f}")
-            metrics_fh.flush()
+        # The final block reports itself so the last record is exact. The
+        # per-step fallback holds 10-boundary entries only, like the old loop.
+        cur = (i0, K, losses, is_current_gen)
+        if iteration == n_iter:
+            if log_pending is not None and log_pending[0] != i0:
+                _process_log(log_pending)
+            _process_log(cur)
+            log_pending = None
+        elif cam_bank is not None or iteration % 10 == 0:
+            if log_pending is not None:
+                _process_log(log_pending)
+            elif cam_bank is None:
+                _process_log(cur)  # fallback's first boundary: fetch current
+            log_pending = cur
 
         if iteration in testing_iterations:
             evaluate(trainer, scene, iteration, metrics_fh,
@@ -350,7 +507,6 @@ def training(
         if iteration in checkpoint_iterations or iteration == n_iter:
             print(f"[ITER {iteration}] Saving Checkpoint")
             trainer.save_checkpoint(model_path, iteration)
-        trainer.iteration = iteration
 
     metrics_fh.close()
     return trainer

@@ -273,6 +273,47 @@ def test_lpips_enabled_fit_runs_with_ramp(tmp_path):
     assert np.isfinite([l["loss"] for l in lines if "loss" in l]).all()
 
 
+def test_chunked_dispatch_matches_per_step(tmp_path):
+    """The scan-chunked train loop (one dispatch per CHUNK_LEN iterations,
+    cameras gathered from a device-resident bank, lr/adam counters derived
+    in-chunk) must be numerically equivalent to the per-step loop: same
+    camera order, same schedules, same densification — only the dispatch
+    granularity changes. PNG images roundtrip the uint8 bank exactly."""
+    import jax
+
+    flame_dir = make_asset_dir(tmp_path)
+    data_dir = _make_stage1_output(tmp_path, flame_dir)
+
+    from cap4d_tpu.avatar.train import training
+
+    trainers = []
+    for name, chunked in (("per_step", False), ("chunked", True)):
+        trainers.append(training(
+            source_paths=[str(data_dir)],
+            model_path=tmp_path / name,
+            model_params=MODEL_PARAMS,
+            opt_params=OPT_PARAMS,
+            testing_iterations=[],
+            checkpoint_iterations=[],
+            flame_asset_dir=flame_dir,
+            chunked=chunked,
+        ))
+    a, b = trainers
+    assert int(a.gauss_aux.n_active) == int(b.gauss_aux.n_active)
+    for field in ("xyz", "opacity", "scaling", "rotation", "features_dc"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(a.gauss_params, field)),
+            np.asarray(getattr(b.gauss_params, field)),
+            rtol=2e-4, atol=2e-5, err_msg=field)
+    for la, lb in zip(jax.tree.leaves(a.deform_params),
+                      jax.tree.leaves(b.deform_params)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(a.neck_weight),
+                               np.asarray(b.neck_weight),
+                               rtol=2e-4, atol=2e-6)
+
+
 def test_animate_surfaces_truncation(fitted, monkeypatch, capsys):
     """Inference-path truncation is no longer silent: a scene whose splats
     overflow the raster caps must print a warning or auto-raise the caps
