@@ -94,6 +94,20 @@ def make_raster(backend: str, width: int, height: int, sh_degree: int,
                    tile_chunk=64, **kw)
 
 
+def _quantize_capacity(n_active: int, factor: float, quantum: int = 16384) -> int:
+    """Initial padded-store capacity: every n-sized sort/gather in the step
+    pays for PADDING slots too, so the store starts tight (factor 1.1) and
+    relies on the async grown-capacity compile path (train.py n_dropped →
+    schedule_capacity) when densification outruns the headroom. Quantized
+    up so fits over similar scenes share persistent-cache executables; tiny
+    (sub-quantum) test scenes keep an exact small store instead of paying a
+    16k-slot floor."""
+    cap = int(n_active * factor)
+    if cap >= quantum:
+        cap = -(-cap // quantum) * quantum
+    return cap
+
+
 def expon_lr(step, lr_init, lr_final, lr_delay_steps=0, lr_delay_mult=1.0,
              max_steps=1_000_000):
     """Log-linear lr interpolation (utils/general_utils.py:29-61)."""
@@ -201,7 +215,7 @@ class AvatarTrainer:
         The pallas ext regions address span-COMPACTED prefixes, and inactive
         capacity padding has span_eff=1 so it sorts to the compaction tail —
         capacity-fraction autos (gsplat_pallas._auto) therefore oversize every
-        ext level by capacity/active (1.6× at init). Every ext SLOT costs sort
+        ext level by capacity/active (the init headroom). Every ext SLOT costs sort
         keys and ~12 ns/column in the VJP's m-sized unsort gather whether or
         not it holds a live pair, so budgets here use the same span-census
         fractions applied to n_active, quantized to 8192 so ordinary
@@ -280,7 +294,7 @@ class AvatarTrainer:
         model_params: Dict[str, Any],
         opt_params: Dict[str, Any],
         flame_asset_dir: str | Path = "data/assets/flame",
-        capacity_factor: float = 1.6,
+        capacity_factor: float = 1.1,
         lpips: Optional[LPIPS] = None,
         seed: int = 0,
     ) -> "AvatarTrainer":
@@ -306,7 +320,7 @@ class AvatarTrainer:
         binding, counts = allocate_gaussians(
             uv, jnp.asarray(tv), config.n_gaussians_init, config.n_points_per_triangle)
         n_faces = uv.remesh_faces.shape[0]
-        capacity = int(len(binding) * capacity_factor)
+        capacity = _quantize_capacity(len(binding), capacity_factor)
         rng = np.random.default_rng(seed)
         gp, ga = G.init_gaussians(
             binding, n_faces, capacity, sh_degree=config.sh_degree,
@@ -353,7 +367,7 @@ class AvatarTrainer:
         model_params: Dict[str, Any],
         opt_params: Dict[str, Any],
         smpl_asset_dir: str | Path = "data/assets/smpl",
-        capacity_factor: float = 1.6,
+        capacity_factor: float = 1.1,
         lpips: Optional[LPIPS] = None,
         seed: int = 0,
     ) -> "AvatarTrainer":
@@ -385,7 +399,7 @@ class AvatarTrainer:
         binding, counts = allocate_gaussians(
             uv, jnp.asarray(tv), config.n_gaussians_init, config.n_points_per_triangle)
         n_faces = uv.remesh_faces.shape[0]
-        capacity = int(len(binding) * capacity_factor)
+        capacity = _quantize_capacity(len(binding), capacity_factor)
         gp, ga = G.init_gaussians(
             binding, n_faces, capacity, sh_degree=config.sh_degree,
             gaussian_counts=counts if config.gaussian_init_type == "scaled" else None,
@@ -424,7 +438,7 @@ class AvatarTrainer:
     def grow_capacity(self, new_capacity: int) -> None:
         """Enlarge the padded gaussian store (recompile boundary).
 
-        The store starts tight (capacity_factor 1.6) because binning/sort cost
+        The store starts tight (capacity_factor 1.1) because binning/sort cost
         scales with the PADDED length; when densification runs out of free
         slots (n_dropped > 0) the trainer grows and the step functions
         recompile once."""
