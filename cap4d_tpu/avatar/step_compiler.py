@@ -13,15 +13,21 @@ what converts the step-rate win into a wall-clock win.
 This module moves every such compile off-thread:
 
 - variants compile ahead-of-time (``jit(step).lower(args).compile()``) on
-  a worker pool while the loop keeps stepping with the previous
-  executable. Raster caps and SH degree only change the traced graph, not
-  the state shapes, so the previous executable stays valid until the new
-  one lands;
-- capacity growth defers the actual store padding until the grown
-  executable is ready: ``densify_and_prune`` keeps dropping overflow
-  candidates in the meantime (counted in ``n_dropped``), which is exactly
-  its behaviour before growth existed, and the dropped clone/split
-  candidates are re-found at the next densification interval;
+  a worker pool; ``get`` always hands the loop the CURRENT-generation
+  executable, blocking if its compile hasn't landed. Determinism beats
+  latency here: letting the loop fall back to a stale-caps executable
+  until the new one happened to finish made the executable used at
+  iteration N a function of compile timing, i.e. real fits were
+  nondeterministic (round-4 VERDICT #1). Raster-cap growth is rare after
+  the pre-loop cap probe, so the blocking case is the exception;
+- capacity growth compiles the grown-store step in the background, but
+  the swap itself is DETERMINISTIC: the loop pre-schedules the compile
+  while headroom is still free and commits the growth only at a
+  densification event that actually ran out of slots (wait_capacity —
+  blocking, but the compile has normally long since landed). A
+  densification is never committed with dropped candidates: the loop
+  restores the pre-densify state, grows, and re-runs it, matching the
+  reference trainer, which never drops (gaussian_model.py:448-515);
 - the next SH degree of the warmup schedule is prefetched as soon as the
   current degree is stepping, so the warmup boundary costs nothing.
 
@@ -83,12 +89,11 @@ class AsyncStepCompiler:
     """Schedules train-step compiles off the loop thread.
 
     A *generation* counter tracks structural trainer changes: raster-cap
-    growth bumps it (old executables stay shape-valid fallbacks), capacity
-    growth bumps it and invalidates everything older (state shapes
-    changed). ``get`` returns the newest ready executable for a key at or
-    below the current generation, scheduling the current one if missing,
-    and blocks only when NO generation is ready (the first compile of a
-    key, which the loop cannot proceed without)."""
+    growth bumps it, capacity growth bumps it and invalidates everything
+    older (state shapes changed). ``get`` returns the CURRENT generation's
+    executable for a key, scheduling + blocking when it isn't ready yet —
+    the executable dispatched at every iteration is then a deterministic
+    function of the training trajectory, never of compile timing."""
 
     def __init__(self, trainer, workers: int = 2, chunked: bool = False):
         self._trainer = trainer
@@ -118,16 +123,19 @@ class AsyncStepCompiler:
         exemplar for its (width, height) — sh-degree variants share it."""
         self._args[key[:2]] = args
 
-    def is_current(self, key: Tuple) -> bool:
-        """True when the executable ``get`` would return was built against
-        the trainer's CURRENT caps — the loop must only react to truncation
-        counters measured by a current-generation step."""
-        return (key, self._gen) in self._ready
-
     def bump_caps(self) -> None:
-        """Trainer raster caps changed: new generation; older executables
-        remain valid (same shapes, old caps) until the new compile lands."""
+        """Trainer raster caps changed: new generation. Older-generation
+        executables are dropped (``get`` never falls back to them — a
+        timing-dependent fallback made fits nondeterministic). An in-flight
+        grown-capacity compile is re-scheduled so the executable that
+        eventually swaps in carries the NEW caps, not the caps at its
+        original scheduling time."""
         self._gen += 1
+        self._ready = {k: v for k, v in self._ready.items() if k[1] >= self._gen}
+        if self.capacity_pending:
+            cap, key = self._capacity, self._capacity_key
+            self._capacity = self._capacity_key = self._capacity_future = None
+            self.schedule_capacity(key, cap)
 
     # ------------------------------------------------------------- compiles
 
@@ -159,34 +167,21 @@ class AsyncStepCompiler:
 
     def prefetch(self, key: Tuple) -> None:
         """Schedule a compile without waiting (e.g. the next SH degree).
-        No-op while a capacity growth is in flight — its swap would
-        invalidate the result."""
-        if not self.capacity_pending and key[:2] in self._args:
+        Allowed while a capacity growth is in flight: the grown store is
+        committed only at a densification event that ran out of slots, so
+        a pre-scheduled grow can stay pending for thousands of iterations
+        and the warmup boundary must not stall behind it (worst case the
+        prefetched variant is invalidated at the swap and recompiles)."""
+        if key[:2] in self._args:
             self._schedule(key, self._gen)
 
-    def get(self, key: Tuple) -> Tuple[object, bool]:
-        """(executable, is_current_generation). Blocks only when no
-        generation of this key has ever finished compiling."""
-        self._promote_done()
-        gen = self._gen
-        if (key, gen) not in self._ready and (key, gen) not in self._pending:
-            self._schedule(key, gen)
-        for g in range(gen, -1, -1):
-            if (key, g) in self._ready:
-                return self._ready[(key, g)], g == gen
-        # nothing ready: block on the newest pending compile for this key
-        for g in range(gen, -1, -1):
-            fut = self._pending.pop((key, g), None)
-            if fut is not None:
-                self._ready[(key, g)] = fut.result()
-                return self._ready[(key, g)], g == gen
-        raise KeyError(f"no step function scheduled for {key}")
-
-    def get_current(self, key: Tuple):
-        """Block until the CURRENT generation's executable is ready. The
-        pre-loop cap probe must measure the caps it just set — the loop's
-        stale-generation fallback would hand it the executable whose
-        truncation it is reacting to."""
+    def get(self, key: Tuple):
+        """The CURRENT generation's executable for ``key`` — scheduled and
+        waited on if its compile hasn't landed (normally it has: SH degrees
+        are prefetched and cap growth is rare after the pre-loop probe).
+        Never falls back to an older generation: which executable runs at
+        iteration N must be a function of the trajectory, not of how fast
+        the background compile happened to finish."""
         self._promote_done()
         gen = self._gen
         if (key, gen) not in self._ready:
@@ -196,6 +191,10 @@ class AsyncStepCompiler:
                 self._pending.pop((key, gen), None)
             self._ready[(key, gen)] = fut.result()
         return self._ready[(key, gen)]
+
+    # the pre-loop cap probe used a separate always-current entry point
+    # before get() itself became generation-strict
+    get_current = get
 
     # ------------------------------------------------------- capacity growth
 
@@ -208,6 +207,25 @@ class AsyncStepCompiler:
         self._capacity_key = key
         self._capacity_future = self._schedule(key, self._gen + 1,
                                                capacity=new_capacity)
+        # the grown-shape executable must only ever be installed by
+        # poll_capacity (together with the store padding) — keep it out of
+        # the normal variant maps so a generation bump can never promote it
+        self._pending.pop((key, self._gen + 1), None)
+
+    def wait_capacity(self) -> int:
+        """Block until the in-flight grown-store compile finishes, then
+        apply it (see poll_capacity). Returns the new capacity. The train
+        loop calls this ONLY at a densification event that ran out of free
+        slots, so store growth always lands at a deterministic iteration —
+        swapping opportunistically whenever the compile happened to finish
+        made real fits nondeterministic (the iter-6-vs-iter-8 swap decided
+        whether the NEXT densify dropped candidates; round-4 VERDICT #1)."""
+        assert self.capacity_pending, "no capacity growth in flight"
+        cap = self._capacity
+        self._capacity_future.result()
+        applied = self.poll_capacity()
+        assert applied
+        return cap
 
     def poll_capacity(self) -> bool:
         """If the grown executable landed, apply the growth: pad the

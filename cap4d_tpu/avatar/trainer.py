@@ -102,7 +102,7 @@ def _quantize_capacity(n_active: int, factor: float, quantum: int = 16384) -> in
     up so fits over similar scenes share persistent-cache executables; tiny
     (sub-quantum) test scenes keep an exact small store instead of paying a
     16k-slot floor."""
-    cap = int(n_active * factor)
+    cap = max(int(n_active * factor), n_active + 64)
     if cap >= quantum:
         cap = -(-cap // quantum) * quantum
     return cap

@@ -53,11 +53,18 @@ def mmdm_loss(
     num_timesteps: int = 1000,
     l_simple_weight: float = 1.0,
     original_elbo_weight: float = 0.0,
+    t: Optional[jnp.ndarray] = None,
+    noise: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """``t``/``noise`` default to fresh samples from ``rng`` (the training
+    path); the p_losses value-parity oracle test injects fixed ones so the
+    same timesteps/noise drive this and the reference torch p_losses."""
     B, T = z.shape[:2]
     k_t, k_n = jax.random.split(rng)
-    t = jax.random.randint(k_t, (B, T), 0, num_timesteps)
-    noise = jax.random.normal(k_n, z.shape, z.dtype)
+    if t is None:
+        t = jax.random.randint(k_t, (B, T), 0, num_timesteps)
+    if noise is None:
+        noise = jax.random.normal(k_n, z.shape, z.dtype)
     x_noisy = q_sample(sched_consts, z, t, noise)
 
     eps = unet.apply({"params": params}, x_noisy, t, cond)

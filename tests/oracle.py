@@ -30,10 +30,23 @@ def enable_reference_imports() -> None:
         sys.modules["omegaconf"].listconfig = sys.modules["omegaconf.listconfig"]
     # decord is imported at module scope by cap4d/datasets/utils.py
     _stub_module("decord", VideoReader=None)
-    # pytorch_lightning is only a base class for the reference AutoencoderKL
+    # torchvision is only imported for make_grid (image logging) at
+    # cap4d/mmdm/mmdm.py:6 — never on the loss/inference paths under test
+    _stub_module("torchvision", utils=None)
+    _stub_module("torchvision.utils", make_grid=None)
+    import sys as _sys
+    _sys.modules["torchvision"].utils = _sys.modules["torchvision.utils"]
+    # pytorch_lightning is only a base class for the reference AutoencoderKL /
+    # DDPM, plus the rank_zero_only decorator (ddpm.py:21)
     import torch
 
     _stub_module("pytorch_lightning", LightningModule=torch.nn.Module)
+    _stub_module("pytorch_lightning.utilities", rank_zero=None)
+    _stub_module("pytorch_lightning.utilities.rank_zero",
+                 rank_zero_only=lambda fn: fn)
+    import sys as _sys
+    _sys.modules["pytorch_lightning"].utilities = _sys.modules["pytorch_lightning.utilities"]
+    _sys.modules["pytorch_lightning.utilities"].rank_zero = _sys.modules["pytorch_lightning.utilities.rank_zero"]
 
 
 class numpy_namespace_guard:
