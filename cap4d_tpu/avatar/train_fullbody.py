@@ -30,7 +30,11 @@ def main():
     parser.add_argument("--load_existing_checkpoint", action="store_true")
     parser.add_argument("--smpl_asset_dir", type=str, default="data/assets/smpl")
     parser.add_argument("--lpips_weights", type=str, default=None)
+    parser.add_argument("--detect_anomaly", action="store_true",
+                        help="jax debug_nans (reference train.py:359,391)")
     args = parser.parse_args()
+    if args.detect_anomaly:
+        jax.config.update("jax_debug_nans", True)
 
     config = load_yaml(args.config_path)
     opt_params = dict(config["opt_params"])

@@ -89,6 +89,8 @@ def run_generation(
     dtype=jnp.bfloat16,
     profile_dir: Optional[str] = None,
     resume: bool = True,
+    groups_per_device: int = 1,
+    max_group_steps_per_dispatch: int = 200,
 ) -> Dict[str, np.ndarray]:
     from cap4d_tpu.utils.compile_cache import enable_compile_cache
 
@@ -173,7 +175,9 @@ def run_generation(
     if mesh is None:
         from cap4d_tpu.parallel import dp_mesh
         mesh = dp_mesh()
-    sampler = StochasticIOSampler(model, mesh=mesh)
+    sampler = StochasticIOSampler(
+        model, mesh=mesh, groups_per_device=groups_per_device,
+        max_group_steps_per_dispatch=max_group_steps_per_dispatch)
     rng, s_rng = jax.random.split(rng)
     from cap4d_tpu.utils.logging import profile_trace
 
@@ -225,7 +229,17 @@ def main():
                         help="write a jax.profiler trace of the sampling loop")
     parser.add_argument("--no_resume", action="store_true",
                         help="disable mid-run sampler checkpointing")
+    parser.add_argument("--groups_per_device", type=int, default=1,
+                        help="view-groups sampled concurrently per chip")
+    parser.add_argument("--max_dispatch_group_steps", type=int, default=200,
+                        help="device work per jitted dispatch (group-steps); "
+                        "the default suits a tunneled relay — raise it (or "
+                        "set huge) on a directly attached TPU slice")
+    parser.add_argument("--detect_anomaly", action="store_true",
+                        help="jax debug_nans (reference train.py --detect_anomaly)")
     args = parser.parse_args()
+    if args.detect_anomaly:
+        jax.config.update("jax_debug_nans", True)
     run_generation(
         args.config_path,
         args.reference_data_path,
@@ -235,6 +249,8 @@ def main():
         flame_asset_dir=args.flame_asset_dir,
         profile_dir=args.profile_dir,
         resume=not args.no_resume,
+        groups_per_device=args.groups_per_device,
+        max_group_steps_per_dispatch=args.max_dispatch_group_steps,
     )
 
 

@@ -55,12 +55,25 @@ class StochasticIOSampler:
         mesh: Optional[Mesh] = None,
         groups_per_device: int = 1,
         cond_dtype=jnp.float32,
+        max_group_steps_per_dispatch: int = 200,
     ):
+        """``max_group_steps_per_dispatch`` bounds the device work per
+        jitted dispatch (K DDIM steps x n_rounds group-rounds per call).
+        lax.scan compiles its body once regardless of K, so fewer
+        dispatches are strictly cheaper — the default of ~200 group-steps
+        (~26 s at the measured 131 ms/group-step) exists ONLY because this
+        bench environment's tunneled TPU relay kills dispatches running
+        ≳1 device-minute (observed: 65 s and 4.4 min blocks → 'TPU worker
+        process crashed'; 26 s blocks run reliably). On a directly
+        attached slice (e.g. a real v5e-8) raise it — or set it to S ×
+        n_rounds to run the whole DDIM chain in one dispatch (checkpoint
+        cadence still caps the block when checkpointing is enabled)."""
         self.model = model
         self.mesh = mesh
         self.n_devices = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
         self.groups_per_device = groups_per_device
         self.cond_dtype = cond_dtype
+        self.max_group_steps_per_dispatch = max_group_steps_per_dispatch
         self._step_fn = None
 
     # -- jitted per-step function ------------------------------------------
@@ -223,16 +236,13 @@ class StochasticIOSampler:
             )
 
         time_range = np.flip(ddim_ts)
-        # K steps per dispatch (see multi_step): lax.scan compiles its body
-        # once regardless of K, so fewer dispatches are strictly cheaper —
-        # but a single dispatch running ≳1 device-minute trips the tunneled
-        # worker's watchdog (observed twice in round 3: 65 s and 4.4 min
-        # blocks → "TPU worker process crashed"; 26 s blocks run reliably),
-        # so the block is sized to ~200 group-steps (≈26 s at the measured
-        # 131 ms/group-step). Checkpoint cadence caps it further (snapshots
-        # keep their interval; the resume tests' checkpoint_every=1 stays
-        # per-step). progress_cb fires per dispatched block.
-        K_disp = max(1, 200 // max(1, n_rounds))
+        # K steps per dispatch (see multi_step), bounded by the configured
+        # per-dispatch device-work budget (constructor docstring: a relay-
+        # environment default, raise on a directly attached slice).
+        # Checkpoint cadence caps it further (snapshots keep their
+        # interval; the resume tests' checkpoint_every=1 stays per-step).
+        # progress_cb fires per dispatched block.
+        K_disp = max(1, self.max_group_steps_per_dispatch // max(1, n_rounds))
         if ckpt_path is not None or progress_cb is not None:
             K_max = min(checkpoint_every, K_disp)
         else:

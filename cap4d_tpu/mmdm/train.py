@@ -202,7 +202,11 @@ def main():
     parser.add_argument("--output_path", type=str, required=True)
     parser.add_argument("--n_steps", type=int, default=None)
     parser.add_argument("--flame_asset_dir", type=str, default="data/assets/flame")
+    parser.add_argument("--detect_anomaly", action="store_true",
+                        help="jax debug_nans (reference train.py:359,391)")
     args = parser.parse_args()
+    if args.detect_anomaly:
+        jax.config.update("jax_debug_nans", True)
     from cap4d_tpu.parallel import dp_mesh
     mesh = dp_mesh()
     train_mmdm(args.config_path, args.output_path, n_steps=args.n_steps,

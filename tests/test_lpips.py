@@ -109,3 +109,40 @@ def test_conv_idx_matches_taps():
     # converter consumes
     flat = [i for block in _VGG16_CONV_IDX for i in block]
     assert flat == sorted(_CHANNELS.keys())
+
+
+def test_convert_lpips_cli_roundtrip(tmp_path, monkeypatch):
+    """Drive the offline converter CLI (cap4d_tpu/tools/convert_lpips.py)
+    end-to-end on synthetic torch .pth files — the exact flow a user runs
+    with the torchvision VGG16 + richzhang downloads (reference pulls them
+    at runtime, lpipsPyTorch/modules/utils.py:11-20)."""
+    vgg = _make_torch_vgg(seed=3)
+    torch.manual_seed(4)
+    lins = [torch.nn.Conv2d(nc, 1, 1, bias=False) for nc in _LIN_CH]
+    vgg_sd = {f"features.{i}.{leaf}": p.detach()
+              for i, m in enumerate(vgg) if isinstance(m, torch.nn.Conv2d)
+              for leaf, p in (("weight", m.weight), ("bias", m.bias))}
+    # torchvision checkpoints also carry classifier weights the converter
+    # must ignore
+    vgg_sd["classifier.0.weight"] = torch.zeros(8, 8)
+    # raw richzhang v0.1 key layout
+    lin_sd = {f"lin{k}.model.1.weight": lin.weight.detach()
+              for k, lin in enumerate(lins)}
+    vgg_path, lin_path = tmp_path / "vgg16.pth", tmp_path / "vgg.pth"
+    torch.save(vgg_sd, vgg_path)
+    torch.save(lin_sd, lin_path)
+
+    out = tmp_path / "lpips_vgg.npz"
+    monkeypatch.setattr("sys.argv", [
+        "convert_lpips", "--vgg", str(vgg_path), "--linear", str(lin_path),
+        "--out", str(out)])
+    from cap4d_tpu.tools.convert_lpips import main
+
+    main()
+    lpips = load_lpips(out)
+    assert lpips.available
+    rng = np.random.default_rng(5)
+    a = rng.uniform(0, 1, size=(32, 32, 3)).astype(np.float32)
+    b = rng.uniform(0, 1, size=(32, 32, 3)).astype(np.float32)
+    assert np.isfinite(float(lpips(a, b)))
+    assert float(lpips(a, a)) == pytest.approx(0.0, abs=1e-7)
