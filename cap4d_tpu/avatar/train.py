@@ -319,8 +319,38 @@ def training(
     _warned_cap_ceiling = False
     adam_step = 0
     k_max = (dispatch_len or CHUNK_LEN) if use_chunks else 1
+    # host-tracked active count: aux.n_active is a traced jnp.sum, so every
+    # int() on it dispatches + drains the in-flight block (measured as a
+    # pipeline bubble per log boundary through the tunnel). The count only
+    # changes at densification events, which already synchronise — fetch it
+    # there and nowhere else.
+    n_active_host = int(trainer.gauss_aux.n_active)
     _probe_and_grow_caps(trainer, compiler, cams[order[0]],
                          cam_bank=cam_bank, cam_idx=int(order[0]))
+
+    # pre-compile the EVAL render executable off-thread: the first
+    # testing_iterations eval otherwise pays its multi-minute XLA compile
+    # inline, in the middle of the fit (measured as most of the round-4
+    # steady-rate gap on the 10k default fit — the iter-2000 eval compile
+    # landed inside the steady measurement window)
+    if testing_iterations and (scene.val_cameras or scene.test_cameras):
+        import threading
+
+        first_eval = min(testing_iterations)
+        sh_at_eval = min((first_iter + first_eval)
+                         // opt_params["sh_warmup_iterations"], sh_max)
+        eval_cam = (scene.val_cameras or scene.test_cameras)[0]
+
+        def _prewarm():
+            for sh in {sh_at_eval, sh_max}:
+                try:
+                    trainer.render_camera(eval_cam, int(eval_cam.timestep),
+                                          sh_degree=sh)
+                except Exception as e:  # never kill the fit over a prewarm
+                    print(f"[prewarm] eval render compile failed: {e}")
+
+        threading.Thread(target=_prewarm, name="evalprewarm",
+                         daemon=True).start()
     t_start = time.perf_counter()
 
     def _after_event(it: int) -> bool:
@@ -341,16 +371,20 @@ def training(
         """Fetch + report a finished block's stacked losses (metrics lines
         at every 10-boundary inside it); returns the block's max truncation
         counters for the boundary reaction. Blocks are fetched one decade
-        LATE so the fetch returns without draining in-flight dispatches."""
+        LATE so the fetch returns without draining in-flight dispatches,
+        and each block's losses were packed into ONE array by a tiny
+        dispatch issued right behind its step — one device→host round trip
+        per block instead of one per loss entry (each fetch through the
+        TPU tunnel pays full relay latency)."""
         nonlocal ema_loss
-        e_i0, e_k, e_losses = entry
-        vals = {k: np.atleast_1d(np.asarray(v))[:e_k]
-                for k, v in e_losses.items()}
+        e_i0, e_k, e_keys, e_packed = entry
+        packed = np.atleast_2d(np.asarray(e_packed))      # (k, n_keys)
+        vals = {k: packed[:e_k, i] for i, k in enumerate(e_keys)}
         e_end = e_i0 + e_k - 1
         log_iters = [it for it in range(e_i0, e_end + 1) if it % 10 == 0]
         if e_end == n_iter and e_end % 10 != 0:
             log_iters.append(e_end)
-        n_active = int(trainer.gauss_aux.n_active)
+        n_active = n_active_host
         for it in log_iters:
             lane = it - e_i0
             total = float(vals["total"][lane])
@@ -383,7 +417,7 @@ def training(
         generation-strict compiler.get makes the swap itself deterministic
         (the next dispatch waits for the grown-caps executable)."""
         nonlocal _warned_cap_ceiling
-        n_active = int(trainer.gauss_aux.n_active)
+        n_active = n_active_host
         over_tolerance = tr_foot > max(64, n_active // 1000)
         grow_foot = over_tolerance and not trainer.raster_caps_at_ceiling
         if (over_tolerance and not grow_foot
@@ -533,6 +567,7 @@ def training(
                     gp, aux, gmoments, n_dropped = run_densify()
                 trainer.gauss_params, trainer.gauss_aux = gp, aux
                 trainer.moments["gauss_m"], trainer.moments["gauss_v"] = gmoments
+                n_active_host = int(trainer.gauss_aux.n_active)
             if (iteration % opt_params["opacity_reset_interval"] == 0
                     or iteration == opt_params["densify_from_iter"]):
                 trainer.gauss_params, gm = G.reset_opacity(
@@ -550,7 +585,7 @@ def training(
                 and iteration >= opt_params["densify_from_iter"] - CAP_COMPILE_LEAD
                 and not compiler.capacity_pending):
             cap = trainer.gauss_params.xyz.shape[0]
-            if int(trainer.gauss_aux.n_active) * 5 > cap * 4:
+            if n_active_host * 5 > cap * 4:
                 compiler.schedule_capacity(key, _next_capacity(cap))
 
         # fetch/report one decade LATE: blocks at least REACT_EVERY
@@ -561,7 +596,14 @@ def training(
         # happen here too, and only here: at fixed REACT_EVERY boundaries,
         # over the max counters of the freshly fetched blocks — the same
         # iterations and the same data whatever the dispatch granularity.
-        pending.append((i0, K, losses))
+        # The losses pack into ONE array NOW (a tiny dispatch that executes
+        # right behind this block on the in-order device stream) so the
+        # decade-late fetch costs one relay round trip, not one per entry.
+        loss_keys = tuple(sorted(losses))
+        packed = jnp.stack(
+            [jnp.asarray(losses[k], jnp.float32) for k in loss_keys],
+            axis=-1)
+        pending.append((i0, K, loss_keys, packed))
         if iteration % REACT_EVERY == 0 or iteration == n_iter:
             fetch_upto = (iteration if iteration == n_iter
                           else iteration - REACT_EVERY)
@@ -601,11 +643,17 @@ def evaluate(trainer: AvatarTrainer, scene, iteration: int, metrics_fh,
             if cam.mask is not None:
                 m = jnp.asarray(cam.mask)[..., None]
                 img, gt = img * m, gt * m
-            stats["l1"].append(float(l1_loss(img, gt)))
-            stats["psnr"].append(float(psnr(img, gt)))
-            stats["ssim"].append(float(ssim(img, gt)))
+            # one packed fetch per camera (each float() through the TPU
+            # tunnel is a full relay round trip)
+            metric_vals = [l1_loss(img, gt), psnr(img, gt), ssim(img, gt)]
             if trainer.lpips.available:
-                stats["lpips"].append(float(trainer.lpips(img, gt)))
+                metric_vals.append(trainer.lpips(img, gt))
+            fetched = np.asarray(jnp.stack(metric_vals))
+            stats["l1"].append(float(fetched[0]))
+            stats["psnr"].append(float(fetched[1]))
+            stats["ssim"].append(float(fetched[2]))
+            if trainer.lpips.available:
+                stats["lpips"].append(float(fetched[3]))
             if image_dir is not None and cam_i < 3:
                 import numpy as _np
 

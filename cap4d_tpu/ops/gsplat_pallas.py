@@ -456,16 +456,16 @@ def _gather_pairs_t(packed_cm, ext_ids, iperm, sorted_slot, counts):
     (L0=1): inactive capacity padding and span-1 splats then cost one pair
     slot instead of four in the backward's m-sized unsort gather.
 
-    counts = (n, L0, E1, E2, E3, L1, L2, L3, m_cap): base offset count,
-    nested ext region counts (E1 ⊇ E2 ⊇ E3 when present — all prefixes of
-    ``ext_ids``; absent levels are 0), their window-offset counts, and the
-    valid-prefix cap (all static)."""
-    n, L0, E1, E2, E3, L1, L2, L3, m_cap = counts
+    counts = (n, L0, rungs, m_cap): base offset count, a tuple of
+    (E_k, L_k) ext-rung region sizes in ascending-window order (nested
+    prefixes of ``ext_ids``: E_1 ⊇ E_2 ⊇ …), and the valid-prefix cap
+    (all static)."""
+    n, L0, rungs, m_cap = counts
     slots = sorted_slot[:m_cap]
-    e_top = max(E1, E2, E3)
+    e_top = max((Ek for Ek, _ in rungs), default=0)
     idx = slots % n if L0 > 1 else slots                  # base region
     c = L0 * n
-    for Ek, Lk in ((E1, L1), (E2, L2), (E3, L3)):
+    for Ek, Lk in rungs:
         if Ek and Lk:
             idx = jnp.where(slots >= c, n + (slots - c) % Ek, idx)
             c += Lk * Ek
@@ -502,7 +502,7 @@ def _gather_pairs_t_fwd(packed_cm, ext_ids, iperm, sorted_slot, counts):
 
 def _gather_pairs_t_bwd(counts, res, g):
     iperm, inv = res
-    n, L0, E1, E2, E3, L1, L2, L3, m_cap = counts
+    n, L0, rungs, m_cap = counts
     # pairs past the valid-prefix cap carry zero gradient (never composited):
     # pad one zero ROW and clamp the inverse permutation. The whole unsort
     # runs in the row-major formulation (see _gather_pairs_t): the row
@@ -517,13 +517,13 @@ def _gather_pairs_t_bwd(counts, res, g):
     u = jax.lax.optimization_barrier(u)
     d = (u[:L0 * n].reshape(L0, n, NCH).sum(axis=0) if L0 > 1
          else u[:n])                                      # base: orig order
-    e_top = max(E1, E2, E3)
+    e_top = max((Ek for Ek, _ in rungs), default=0)
     if e_top:
         # window-reduce each ext region, accumulate in compacted space
         # (regions are nested prefixes), then ONE fold gather through iperm
         c = L0 * n
         fold = jnp.zeros((e_top, NCH), u.dtype)
-        for Ek, Lk in ((E1, L1), (E2, L2), (E3, L3)):
+        for Ek, Lk in rungs:
             if Ek and Lk:
                 dk = u[c:c + Lk * Ek].reshape(Lk, Ek, NCH).sum(axis=0)
                 fold = fold.at[:Ek].add(dk) if Ek < e_top else fold + dk
@@ -751,11 +751,6 @@ def rasterize_gaussians_pallas(
 
     big_side = int(big_tiles_per_gaussian ** 0.5)
     base = max(1, min(base_side, side, 2))
-    use_small = base == 1 and max(side, big_side) >= 2
-    prev_small = 2 if (use_small or base >= 2) else 1
-    use_mid = side > prev_small
-    prev_mid = side if use_mid else prev_small
-    use_big = big_side > prev_mid
 
     def _auto(budget, frac, quantum):
         # 0 = auto: a capacity fraction rounded up to a recompile-stable
@@ -765,21 +760,68 @@ def rasterize_gaussians_pallas(
             return budget
         return max(quantum, -(-int(n * frac) // quantum) * quantum)
 
-    E3 = min(_auto(big_budget, 1 / 128, 256), n) if use_big else 0
-    E2 = min(E3 + _auto(mid_budget, 1 / 32, 512), n) if use_mid else 0
-    E1 = (min(max(E2, E3) + _auto(small_budget, 5 / 8, 512), n)
-          if use_small else 0)
+    # ---- window-size LADDER ----
+    # One side×side complement window per span class, every 2 tiles of side:
+    # the round-4 two-window design (one `side` window for ALL span>2
+    # splats, one big window above it) paid side²−4 slots — 45 at side 7 —
+    # for every mid splat regardless of its real span, and every dead slot
+    # costs sort keys plus ~6 ns in the VJP's m-sized unsort gather. Rung
+    # budgets halve ladder-upward from the small/mid/big anchors (span
+    # populations decay faster than that — footprint area grows ×4 per
+    # rung); a splat past its rung's budget falls into the next smaller
+    # rung's prefix and is CLIPPED + counted in n_truncated, so undersized
+    # rungs self-heal through the cap-growth reaction exactly as before.
+    small_sides = [2] if (base == 1 and max(side, big_side) >= 2) else []
+    mid_sides = [s for s in range(3, side + 1, 2) if s > 2]
+    if side > 2 and side % 2 == 0:
+        mid_sides = [s for s in mid_sides if s < side] + [side]
+    prev_mid = mid_sides[-1] if mid_sides else (2 if small_sides or base >= 2
+                                                else base)
+    big_sides = [s for s in range(prev_mid + 2, big_side + 1, 2)]
+    if big_side > prev_mid and (not big_sides or big_sides[-1] != big_side):
+        big_sides = [s for s in big_sides if s < big_side] + [big_side]
+
+    small_anchor = _auto(small_budget, 5 / 8, 512) if small_sides else 0
+    mid_anchor = _auto(mid_budget, 1 / 32, 512) if mid_sides else 0
+    big_anchor = _auto(big_budget, 1 / 128, 256) if big_sides else 0
+
+    def _halved(anchor, i, quantum):
+        # rung 0 takes its anchor verbatim (explicit budgets keep their
+        # exact semantics, tests rely on budget=1); deeper rungs halve,
+        # quantized up for recompile stability but never past the anchor
+        if i == 0 or anchor == 0:
+            return anchor
+        return min(anchor, -(-(anchor >> i) // quantum) * quantum)
+
+    # per-rung POPULATION budgets (splats whose span lands in that rung),
+    # then nested prefix sizes E_k as suffix sums — a big splat occupies
+    # every rung's prefix (its full window = base ∪ all complement levels),
+    # mirroring the round-4 cumulative E2 = E3 + mid semantics
+    rung_sides, rung_P = [], []
+    for s in small_sides:
+        rung_sides.append(s)
+        rung_P.append(small_anchor)
+    for i, s in enumerate(mid_sides):
+        rung_sides.append(s)
+        rung_P.append(_halved(mid_anchor, i, 512))
+    for i, s in enumerate(big_sides):
+        rung_sides.append(s)
+        rung_P.append(_halved(big_anchor, i, 256))
+    rung_E, suffix = [], 0
+    for P in reversed(rung_P):
+        suffix += P
+        rung_E.append(min(suffix, n))
+    rung_E.reverse()
 
     def offs(sd, inner):
         return [(i, j) for i in range(sd) for j in range(sd)
                 if not (i < inner and j < inner)]
 
     base_offs = offs(base, 0)
-    small_offs = offs(2, base) if use_small else []
-    mid_offs = offs(side, prev_small) if use_mid else []
-    big_offs = offs(big_side, prev_mid) if use_big else []
+    prev = [base] + rung_sides[:-1]
+    rung_offs = [offs(s, p) for s, p in zip(rung_sides, prev)]
     L0 = len(base_offs)
-    L1, L2, L3 = len(small_offs), len(mid_offs), len(big_offs)
+    rung_L = [len(o) for o in rung_offs]
 
     # exact global depth order as an integer rank (no quantization): two
     # N-sorts; ties broken deterministically by gaussian index
@@ -792,15 +834,11 @@ def rasterize_gaussians_pallas(
 
     # compact the largest-span gaussians: level desc, span desc, index asc
     span_eff = jnp.where(valid, span, 1)
-    e_top = max(E1, E2, E3)
+    e_top = max(rung_E, default=0)
     if e_top:
         level = jnp.zeros_like(span_eff)
-        if use_small:
-            level += (span_eff > base).astype(jnp.int32)
-        if use_mid:
-            level += (span_eff > prev_small).astype(jnp.int32)
-        if use_big:
-            level += (span_eff > prev_mid).astype(jnp.int32)
+        for s, p in zip(rung_sides, [base] + rung_sides[:-1]):
+            level += (span_eff > p).astype(jnp.int32)
         ckey = -(level * 4096 + jnp.minimum(span_eff, 4095))
         _, perm = jax.lax.sort_key_val(ckey, iota_n)
         _, iperm = jax.lax.sort_key_val(perm, iota_n)
@@ -850,27 +888,22 @@ def rasterize_gaussians_pallas(
                   + tuple(jax.lax.bitcast_convert_type(wp_ext[:, i],
                                                        jnp.float32)
                           for i in (6, 7, 8)))
-        if E1:
-            key_parts.append(window_keys(
-                small_offs, *(c[:E1] for c in ext_ch)).reshape(-1))
-        if E2:
-            key_parts.append(window_keys(
-                mid_offs, *(c[:E2] for c in ext_ch)).reshape(-1))
-        if E3:
-            key_parts.append(window_keys(
-                big_offs, *(c[:E3] for c in ext_ch)).reshape(-1))
+        for Ek, ok in zip(rung_E, rung_offs):
+            if Ek:
+                key_parts.append(window_keys(
+                    ok, *(c[:Ek] for c in ext_ch)).reshape(-1))
     key_all = jnp.concatenate(key_parts) if len(key_parts) > 1 else key_parts[0]
     m_pairs = key_all.shape[0]
     sorted_key, sorted_slot = jax.lax.sort_key_val(
         key_all, jax.lax.iota(jnp.int32, m_pairs))
 
-    # a splat whose span exceeds its rank-assigned window is clipped
-    in_big = (iperm < E3) if E3 else jnp.zeros_like(valid)
-    in_mid = ((iperm < E2) & ~in_big) if E2 else jnp.zeros_like(valid)
-    in_small = ((iperm < E1) & ~in_big & ~in_mid) if E1 else jnp.zeros_like(valid)
-    assigned = jnp.where(in_big, big_side,
-                         jnp.where(in_mid, side,
-                                   jnp.where(in_small, 2, base)))
+    # a splat whose span exceeds its rank-assigned window is clipped:
+    # ascending-rung overwrite picks the LARGEST rung whose nested prefix
+    # contains the splat
+    assigned = jnp.full_like(span, base)
+    for s, Ek in zip(rung_sides, rung_E):
+        if Ek:
+            assigned = jnp.where(iperm < Ek, s, assigned)
     n_truncated = jnp.sum(valid & (span > assigned))
 
     # ---- per-tile segment table + channel-major sorted pair array ----
@@ -893,7 +926,7 @@ def rasterize_gaussians_pallas(
         m_cap = m_pairs
         n_overflow = jnp.zeros((), jnp.int32)
 
-    counts = (n, L0, E1, E2, E3, L1, L2, L3, m_cap)
+    counts = (n, L0, tuple(zip(rung_E, rung_L)), m_cap)
     pairs_t = _gather_pairs_t(packed_cm, ext_ids, iperm, sorted_slot, counts)
 
     composite = _make_composite(n_tiles, tiles_x, m_cap + CHUNK, interpret)

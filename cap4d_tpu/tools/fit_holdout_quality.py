@@ -103,6 +103,15 @@ def main():
     # noise-perturbed-deform oracle (round-4 measurement: PSNR 19.3 @600)
     ap.add_argument("--iterations", type=int, default=1500)
     ap.add_argument("--out", type=str, default="examples_work/holdout")
+    ap.add_argument("--lpips", choices=["off", "synthetic"], default="off",
+                    help="'synthetic': activate the perceptual term with "
+                    "randomly-initialised VGG/linear weights (the real "
+                    "torchvision/richzhang downloads are absent from this "
+                    "image — tools/convert_lpips.py converts them offline); "
+                    "exercises the ramp + loss plumbing end-to-end and "
+                    "publishes the lpips curve")
+    ap.add_argument("--lpips_weights", type=str, default=None,
+                    help="converted lpips npz (overrides --lpips synthetic)")
     args = ap.parse_args()
     enable_cache()
 
@@ -174,6 +183,38 @@ def main():
                position_lr_max_steps=args.iterations,
                deform_net_lr_max_steps=args.iterations,
                neck_lr_max_steps=args.iterations)
+
+    lpips_weights = args.lpips_weights
+    if lpips_weights is None and args.lpips == "synthetic":
+        # randomly-initialised VGG16 + non-negative linear heads through the
+        # SAME converter the real downloads use (tools/convert_lpips.py);
+        # exercises the ramp/plumbing and publishes a live lpips curve
+        import torch
+
+        from tests.test_lpips import _LIN_CH, _make_torch_vgg
+
+        from cap4d_tpu.avatar.lpips import convert_torch_lpips, save_lpips_npz
+
+        vgg = _make_torch_vgg(seed=0)
+        torch.manual_seed(1)
+        lins = [torch.nn.Conv2d(nc, 1, 1, bias=False) for nc in _LIN_CH]
+        for lin in lins:
+            with torch.no_grad():
+                lin.weight.abs_()
+        vgg_sd = {f"features.{i}.{leaf}": p.detach().numpy()
+                  for i, m in enumerate(vgg) if isinstance(m, torch.nn.Conv2d)
+                  for leaf, p in (("weight", m.weight), ("bias", m.bias))}
+        lin_sd = {f"lin{k}.model.1.weight": lin.weight.detach().numpy()
+                  for k, lin in enumerate(lins)}
+        lpips_weights = work / "lpips_synthetic.npz"
+        save_lpips_npz(convert_torch_lpips(vgg_sd, lin_sd), lpips_weights)
+    if lpips_weights is not None:
+        # reference ramp semantics (train.py:152-158, default.yaml
+        # lpips 1k->7k) scaled to this fit's length
+        opt.update(lpips_linear_start=args.iterations // 10,
+                   lpips_linear_end=(args.iterations * 7) // 10,
+                   lambda_lpips_end=0.75, w_lpips=0.1)
+
     t0 = time.perf_counter()
     trainer = training(
         source_paths=[str(data_dir)],
@@ -185,6 +226,7 @@ def main():
         flame_asset_dir=flame_dir,
         seed=3,
         n_max_val_images=N_HELD_OUT,
+        lpips_weights=str(lpips_weights) if lpips_weights else None,
     )
     fit_s = time.perf_counter() - t0
 
@@ -224,6 +266,27 @@ def main():
         "driving_mean_std": [[round(a, 5), round(b, 5)]
                              for a, b in drive_stats],
     }
+    if lpips_weights is not None:
+        # publish the live perceptual-loss curve (ramped
+        # lpips_linear_start→end; reference train.py:152-158)
+        lcurve = [(r["iter"], r["lpips"]) for r in
+                  (json.loads(l) for l in
+                   open(work / "avatar" / "metrics.jsonl"))
+                  if "lpips" in r and "iter" in r]
+        assert lcurve and any(v != 0.0 for _, v in lcurve), \
+            "lpips term never became active"
+        result["lpips"] = {
+            "weights": ("synthetic (random VGG through the real converter; "
+                        "see tools/convert_lpips.py for the real downloads)"
+                        if args.lpips == "synthetic" else str(lpips_weights)),
+            "ramp": [opt["lpips_linear_start"], opt["lpips_linear_end"]],
+            "w_lpips": opt["w_lpips"],
+            "lambda_lpips_end": opt["lambda_lpips_end"],
+            "first_nonzero": next(
+                ([it, round(v, 5)] for it, v in lcurve if v != 0.0), None),
+            "final": [lcurve[-1][0], round(lcurve[-1][1], 5)],
+            "n_logged": len(lcurve),
+        }
     with open(out_root / "quality.json", "w") as fh:
         json.dump(result, fh, indent=2)
     print(json.dumps(result["holdout"]))
