@@ -785,13 +785,25 @@ def rasterize_gaussians_pallas(
     mid_anchor = _auto(mid_budget, 1 / 32, 512) if mid_sides else 0
     big_anchor = _auto(big_budget, 1 / 128, 256) if big_sides else 0
 
-    def _halved(anchor, i, quantum):
-        # rung 0 takes its anchor verbatim (explicit budgets keep their
-        # exact semantics, tests rely on budget=1); deeper rungs halve,
-        # quantized up for recompile stability but never past the anchor
-        if i == 0 or anchor == 0:
-            return anchor
-        return min(anchor, -(-(anchor >> i) // quantum) * quantum)
+    def _partition(anchor, k, quantum):
+        """Split an anchor budget over its k ladder rungs: geometric halves
+        (span populations decay at least that fast — footprint area grows
+        ×4 per rung), REMAINDER ON THE LAST RUNG so a tiny explicit budget
+        keeps the old guarantee that the largest-span splats get the full
+        window. Rung populations sum to the anchor: total coverage keeps
+        the round-4 two-window semantics while per-splat windows shrink."""
+        if k <= 1:
+            return [anchor]
+        parts, left = [], anchor
+        for i in range(k - 1):
+            p = anchor >> (i + 1)
+            if p >= quantum:
+                p = -(-p // quantum) * quantum
+            p = min(p, left)
+            parts.append(p)
+            left -= p
+        parts.append(left)
+        return parts
 
     # per-rung POPULATION budgets (splats whose span lands in that rung),
     # then nested prefix sizes E_k as suffix sums — a big splat occupies
@@ -801,12 +813,12 @@ def rasterize_gaussians_pallas(
     for s in small_sides:
         rung_sides.append(s)
         rung_P.append(small_anchor)
-    for i, s in enumerate(mid_sides):
+    for s, P in zip(mid_sides, _partition(mid_anchor, len(mid_sides), 512)):
         rung_sides.append(s)
-        rung_P.append(_halved(mid_anchor, i, 512))
-    for i, s in enumerate(big_sides):
+        rung_P.append(P)
+    for s, P in zip(big_sides, _partition(big_anchor, len(big_sides), 256)):
         rung_sides.append(s)
-        rung_P.append(_halved(big_anchor, i, 256))
+        rung_P.append(P)
     rung_E, suffix = [], 0
     for P in reversed(rung_P):
         suffix += P

@@ -71,6 +71,16 @@ def main():
     ap.add_argument("--views", type=int, default=N_VIEWS_DEFAULT)
     ap.add_argument("--out", type=str, default="examples_work/fit_default")
     ap.add_argument("--config", type=str, default="configs/avatar/default.yaml")
+    ap.add_argument("--interval", type=int, default=0,
+                    help="mid-fit eval interval (reference --interval 2000). "
+                    "Default 0 = none: through this image's TPU relay, the "
+                    "SECOND dispatch of the eval-render executable after "
+                    "thousands of interleaved train dispatches reproducibly "
+                    "wedges the remote worker (observed twice, round 5; the "
+                    "same executable re-executed 200x back-to-back in the GT "
+                    "phase is fine). The tool computes final quality itself, "
+                    "and evaluate() is covered by the CPU suite + short "
+                    "fits; on a directly attached TPU pass --interval 2000.")
     args = ap.parse_args()
 
     repo = Path(__file__).resolve().parents[2]
@@ -128,17 +138,18 @@ def main():
     print(f"oracle GT: {n_views} views @{RES}px in {gt_s:.1f}s")
     del oracle
 
-    # ---- the real fit: default.yaml VERBATIM, reference --interval 2000
+    # ---- the real fit: default.yaml VERBATIM (mid-fit evals per --interval)
     n_iter = int(cfg["opt_params"]["iterations"])
-    interval = 2000
     model_path = work / "avatar"
+    testing = (list(range(args.interval, n_iter + 1, args.interval))
+               if args.interval else [])
     t0 = time.perf_counter()
     trainer = training(
         source_paths=[str(data_dir)],
         model_path=model_path,
         model_params=model_params,
         opt_params=dict(cfg["opt_params"]),
-        testing_iterations=list(range(interval, n_iter + 1, interval)),
+        testing_iterations=testing,
         checkpoint_iterations=[n_iter],
         flame_asset_dir=flame_dir,
         seed=0,
