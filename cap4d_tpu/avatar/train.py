@@ -334,23 +334,12 @@ def training(
     # steady-rate gap on the 10k default fit — the iter-2000 eval compile
     # landed inside the steady measurement window)
     if testing_iterations and (scene.val_cameras or scene.test_cameras):
-        import threading
-
         first_eval = min(testing_iterations)
         sh_at_eval = min((first_iter + first_eval)
                          // opt_params["sh_warmup_iterations"], sh_max)
         eval_cam = (scene.val_cameras or scene.test_cameras)[0]
-
-        def _prewarm():
-            for sh in {sh_at_eval, sh_max}:
-                try:
-                    trainer.render_camera(eval_cam, int(eval_cam.timestep),
-                                          sh_degree=sh)
-                except Exception as e:  # never kill the fit over a prewarm
-                    print(f"[prewarm] eval render compile failed: {e}")
-
-        threading.Thread(target=_prewarm, name="evalprewarm",
-                         daemon=True).start()
+        trainer.prewarm_render_async(eval_cam, int(eval_cam.timestep),
+                                     {sh_at_eval, sh_max})
     t_start = time.perf_counter()
 
     def _after_event(it: int) -> bool:

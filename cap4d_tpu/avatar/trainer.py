@@ -853,6 +853,44 @@ class AvatarTrainer:
             self.gauss_params, self.gauss_aux, self.deform_params,
             self.neck_weight, self.flame_bank, rts, Ks, ts, fars)
 
+    def prewarm_render_async(self, cam, timestep: int, sh_degrees) -> None:
+        """Compile the eval-render executables for ``cam`` off-thread.
+
+        The first ``testing_iterations`` eval otherwise pays its XLA compile
+        inline mid-fit (measured as most of the round-4 steady-rate gap).
+        Device COPIES of the current state are captured on the CALLING
+        thread: the train loop's chunk jit donates the live buffers
+        (donate_argnums in _make_chunk_fn), so a background render that read
+        ``self.gauss_params`` directly raced buffer donation and died with
+        "Array has been deleted" once the loop dispatched — executing on the
+        snapshot populates the same jit cache (identical avals) without
+        touching donated storage."""
+        import threading
+
+        snap = jax.tree.map(
+            jnp.copy, (self.gauss_params, self.gauss_aux, self.deform_params,
+                       self.neck_weight, self.flame_bank))
+        rt = jnp.asarray(cam.rt)
+        K = jnp.asarray(cam.intrinsics)
+        t = jnp.asarray(int(timestep))
+        far = jnp.float32(1e3)
+        if self._render_fns is None:
+            object.__setattr__(self, "_render_fns", {})
+
+        def run():
+            for sh in sh_degrees:
+                try:
+                    key = (cam.width, cam.height, sh, False, False)
+                    if key not in self._render_fns:
+                        self._render_fns[key] = jax.jit(self._make_render_fn(
+                            cam.width, cam.height, sh, False, False))
+                    jax.block_until_ready(
+                        self._render_fns[key](*snap, rt, K, t, far))
+                except Exception as e:  # never kill the fit over a prewarm
+                    print(f"[prewarm] eval render compile failed: {e}")
+
+        threading.Thread(target=run, name="evalprewarm", daemon=True).start()
+
     def render_camera(self, cam, timestep: int, sh_degree: Optional[int] = None,
                       compute_depth: bool = False, clip: bool = False):
         """Inference render of one camera (gsplat_renderer.py:20-86).
