@@ -165,6 +165,7 @@ class AvatarTrainer:
     active_sh_degree: int = 0
     iteration: int = 0
     _render_fns: Dict = None
+    _render_compiled: Dict = None   # AOT prewarm executables (same keys)
     # rasterizer knobs — raising either is a recompile boundary, done by the
     # train loop when the step reports truncation (like n_dropped→grow_capacity)
     raster_backend: str = "auto"
@@ -284,6 +285,8 @@ class AvatarTrainer:
                 self.max_valid_pairs = auto * 2
         if self._render_fns:
             self._render_fns.clear()
+        if self._render_compiled:
+            self._render_compiled.clear()
 
     # ------------------------------------------------------------------ build
 
@@ -478,6 +481,8 @@ class AvatarTrainer:
                     "rotation", "opacity")})
         if self._render_fns:
             self._render_fns.clear()
+        if self._render_compiled:
+            self._render_compiled.clear()
         print(f"Grew gaussian capacity {C} -> {new_capacity}")
 
     # ------------------------------------------------------------- mesh state
@@ -854,28 +859,29 @@ class AvatarTrainer:
             self.neck_weight, self.flame_bank, rts, Ks, ts, fars)
 
     def prewarm_render_async(self, cam, timestep: int, sh_degrees) -> None:
-        """Compile the eval-render executables for ``cam`` off-thread.
+        """AOT-compile the eval-render executables for ``cam`` off-thread.
 
         The first ``testing_iterations`` eval otherwise pays its XLA compile
         inline mid-fit (measured as most of the round-4 steady-rate gap).
-        Device COPIES of the current state are captured on the CALLING
-        thread: the train loop's chunk jit donates the live buffers
-        (donate_argnums in _make_chunk_fn), so a background render that read
-        ``self.gauss_params`` directly raced buffer donation and died with
-        "Array has been deleted" once the loop dispatched — executing on the
-        snapshot populates the same jit cache (identical avals) without
-        touching donated storage."""
+        COMPILE-ONLY, exactly like AsyncStepCompiler: ``lower(avals)``
+        never executes and never reads buffer contents, so it cannot race
+        the chunk jit's buffer donation (an executing prewarm died with
+        "Array has been deleted", and a concurrent background EXECUTION
+        breaks this image's relay backend outright with INVALID_ARGUMENT —
+        both observed round 5). Avals (weak types included) are captured on
+        the calling thread; ``render_camera`` prefers the finished
+        executable and falls back to its own jit on any aval mismatch."""
         import threading
 
-        snap = jax.tree.map(
-            jnp.copy, (self.gauss_params, self.gauss_aux, self.deform_params,
-                       self.neck_weight, self.flame_bank))
-        rt = jnp.asarray(cam.rt)
-        K = jnp.asarray(cam.intrinsics)
-        t = jnp.asarray(int(timestep))
-        far = jnp.float32(1e3)
         if self._render_fns is None:
             object.__setattr__(self, "_render_fns", {})
+        if self._render_compiled is None:
+            object.__setattr__(self, "_render_compiled", {})
+        args = (self.gauss_params, self.gauss_aux, self.deform_params,
+                self.neck_weight, self.flame_bank, jnp.asarray(cam.rt),
+                jnp.asarray(cam.intrinsics), jnp.asarray(int(timestep)),
+                jnp.float32(1e3))
+        avals = jax.tree.map(lambda x: x.aval, args)
 
         def run():
             for sh in sh_degrees:
@@ -884,8 +890,8 @@ class AvatarTrainer:
                     if key not in self._render_fns:
                         self._render_fns[key] = jax.jit(self._make_render_fn(
                             cam.width, cam.height, sh, False, False))
-                    jax.block_until_ready(
-                        self._render_fns[key](*snap, rt, K, t, far))
+                    self._render_compiled[key] = (
+                        self._render_fns[key].lower(*avals).compile())
                 except Exception as e:  # never kill the fit over a prewarm
                     print(f"[prewarm] eval render compile failed: {e}")
 
@@ -909,10 +915,17 @@ class AvatarTrainer:
         if key not in self._render_fns:
             self._render_fns[key] = jax.jit(self._make_render_fn(
                 cam.width, cam.height, sh_deg, compute_depth, clip))
-        return self._render_fns[key](
-            self.gauss_params, self.gauss_aux, self.deform_params,
-            self.neck_weight, self.flame_bank, jnp.asarray(cam.rt),
-            jnp.asarray(cam.intrinsics), jnp.asarray(timestep), jnp.float32(far))
+        args = (self.gauss_params, self.gauss_aux, self.deform_params,
+                self.neck_weight, self.flame_bank, jnp.asarray(cam.rt),
+                jnp.asarray(cam.intrinsics), jnp.asarray(timestep),
+                jnp.float32(far))
+        compiled = (self._render_compiled or {}).get(key)
+        if compiled is not None:
+            try:
+                return compiled(*args)
+            except Exception:   # aval drift vs the prewarm — use the jit path
+                del self._render_compiled[key]
+        return self._render_fns[key](*args)
 
     # ------------------------------------------------------------ checkpoints
 
