@@ -283,8 +283,8 @@ def main():
             "w_lpips": opt["w_lpips"],
             "lambda_lpips_end": opt["lambda_lpips_end"],
             "first_nonzero": next(
-                ([it, round(v, 5)] for it, v in lcurve if v != 0.0), None),
-            "final": [lcurve[-1][0], round(lcurve[-1][1], 5)],
+                ([it, round(v, 8)] for it, v in lcurve if v != 0.0), None),
+            "final": [lcurve[-1][0], round(lcurve[-1][1], 8)],
             "n_logged": len(lcurve),
         }
     with open(out_root / "quality.json", "w") as fh:
