@@ -278,6 +278,30 @@ def face_frame_pack(verts: jnp.ndarray, faces: jnp.ndarray,
     return _face_frame_pack_ch(v0, v1, v2)
 
 
+def face_frame_pack2(verts_a: jnp.ndarray, verts_b: jnp.ndarray,
+                     faces: jnp.ndarray, corner_cat: jnp.ndarray,
+                     corner_table: jnp.ndarray):
+    """Two :func:`face_frame_pack` calls sharing one corner gather.
+
+    The deformed and neutral meshes use the SAME (corner_cat, corner_table)
+    plan, and TPU lane gathers price their sublane dim at 8-row tile
+    granularity — a (6, ·) gather costs what a (3, ·) gather costs. Fusing
+    the two packs halves both the forward corner gather and its
+    (C, MAXI·V) adjoint gather. Returns (pack_a, pack_b)."""
+    F = faces.shape[0]
+    vt = jnp.concatenate(
+        [jnp.transpose(verts_a), jnp.transpose(verts_b)], axis=0)  # (6, V)
+    cols = corner_gather(vt, corner_cat, corner_table)             # (6, 3F)
+
+    def unpack(base):
+        v0 = tuple(cols[base + c, 0:F] for c in range(3))
+        v1 = tuple(cols[base + c, F:2 * F] for c in range(3))
+        v2 = tuple(cols[base + c, 2 * F:] for c in range(3))
+        return _face_frame_pack_ch(v0, v1, v2)
+
+    return unpack(0), unpack(3)
+
+
 def _face_frame_pack_ch(v0, v1, v2) -> jnp.ndarray:
     """Corner channel tuples (3 × (F,) each) → (F, 16) pack."""
     e0 = tuple(b - a for a, b in zip(v0, v1))            # v1 - v0

@@ -27,6 +27,7 @@ from cap4d_tpu.avatar.binding import (
     build_corner_table,
     compute_face_orientation,
     face_frame_pack,
+    face_frame_pack2,
     relative_rotation_loss_pack,
     rotmat_to_quat,
     rotmat_to_rotvec,
@@ -209,6 +210,21 @@ def uv_resample_vjp(uv: UVAssets, verts: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(R, R, verts.shape[1])
 
 
+def uv_resample_vjp2(uv: UVAssets, a: jnp.ndarray, b: jnp.ndarray):
+    """Two :func:`uv_resample_vjp` calls fused into ONE planned lane gather.
+
+    Both inputs share the static (cat, order, bounds) plan, and the gather's
+    sublane dim prices at 8-row tile granularity — a (6, V) take costs what
+    a (3, V) take costs, so resampling [a ⊕ b] halves the gather count.
+    Returns ``(resampled_a, resampled_b)`` each (R, R, D)."""
+    R = uv.resolution
+    D = a.shape[1]
+    vt = jnp.concatenate([jnp.transpose(a), jnp.transpose(b)], axis=0)
+    out = _uv_resample_planned(vt, uv.bary_cm, uv.resample_cat,
+                               uv.resample_order, uv.resample_bounds)
+    return (out[:, :D].reshape(R, R, D), out[:, D:].reshape(R, R, D))
+
+
 def allocate_gaussians(
     uv: UVAssets, template_verts: jnp.ndarray,
     n_gaussians_init: int, n_points_per_triangle: int,
@@ -301,9 +317,11 @@ def mesh_properties(
     neutral_verts = fwd(expr * 0.0, eye_rot * 0.0)
     offsets = verts - neutral_verts
 
-    remeshed_verts = uv_resample_vjp(uv, verts)                   # (R, R, 3)
+    # one fused lane gather for both resamples (shared static plan; a (6, V)
+    # take prices the same as a (3, V) one on the 8-sublane tiling)
+    remeshed_verts, remeshed_offsets = uv_resample_vjp2(uv, verts, offsets)
     # offsets feed the net through stop_gradient — no adjoint needed
-    remeshed_offsets = uv_resample_vjp(uv, offsets) / STD_DEFORM
+    remeshed_offsets = remeshed_offsets / STD_DEFORM
 
     # deform net on [offsets ⊕ pos_enc] and [zeros ⊕ pos_enc] (:267-285)
     if use_expr_mask:
@@ -321,9 +339,12 @@ def mesh_properties(
     v_neu = (remeshed_verts + nodeform_out).reshape(R * R, 3)
     faces = uv.remesh_faces
 
+    # one fused corner gather for both packs (see binding.face_frame_pack2)
+    face_pack, neutral_pack = face_frame_pack2(
+        v_def, v_neu, faces, uv.corner_cat, uv.corner_table)
     return MeshProperties(
-        face_pack=face_frame_pack(v_def, faces, uv.corner_cat, uv.corner_table),
-        neutral_pack=face_frame_pack(v_neu, faces, uv.corner_cat, uv.corner_table),
+        face_pack=face_pack,
+        neutral_pack=neutral_pack,
         deform_output=deform_out,
         verts=v_def,
     )
@@ -338,11 +359,19 @@ def laplacian_loss(deform_output: jnp.ndarray) -> jnp.ndarray:
     Runs CHANNEL-FIRST: (R, R, 3) slices keep the 3-wide minor dim on the
     128-lane tiling (42× padded bytes through four shifted subtracts and
     their adjoints — 2.68 ms/step in the round-4 fit trace); one transpose
-    to (3, R, R) makes every slice lane-dense."""
+    to (3, R, R) makes every slice lane-dense. The 4 shifted neighbours are
+    phrased as ROLLS + an interior mask rather than (R-2)-wide slices: 254
+    lanes misalign every slice (and its pad adjoint) off the 128-lane tile,
+    while a lane/sublane rotate keeps the full aligned (R, R) block and has
+    a rotate adjoint."""
     d = jnp.transpose(deform_output, (2, 0, 1)) / STD_DEFORM  # (3, R, R)
-    lap = (4.0 * d[:, 1:-1, 1:-1] - d[:, :-2, 1:-1] - d[:, 2:, 1:-1]
-           - d[:, 1:-1, :-2] - d[:, 1:-1, 2:])
-    return jnp.mean(jnp.sum(lap**2, axis=0))
+    R = d.shape[-1]
+    lap = (4.0 * d
+           - jnp.roll(d, 1, axis=1) - jnp.roll(d, -1, axis=1)
+           - jnp.roll(d, 1, axis=2) - jnp.roll(d, -1, axis=2))
+    interior = jnp.zeros((R, R), d.dtype).at[1:-1, 1:-1].set(1.0)
+    num = jnp.sum(jnp.sum(lap**2, axis=0) * interior)
+    return num / ((R - 2) * (R - 2))
 
 
 def relative_deformation_loss(xyz_world: jnp.ndarray, xyz_neutral: jnp.ndarray) -> jnp.ndarray:

@@ -140,13 +140,47 @@ def world_gaussians_pack(
     pure (C,)-vector arithmetic (the dense version's (C,3,3) gather + einsum
     and minor-dim-3/4 elementwise ops dominate the train-step profile).
     Returns channel tuples ready for the rasterizer's channel entry."""
-    from cap4d_tpu.avatar.binding import gather_pack_rows, unpack_face_frame
+    from cap4d_tpu.avatar.binding import gather_pack_rows
 
     rows = gather_pack_rows(face_pack, aux.binding, aux.active,
                             aux.binding_counter, face_pack.shape[0])
     # barrier: keeps the row gather row-major instead of a fused
     # column-major gather (see ops/gsplat_pallas._gather_pairs_t)
     g = jnp.transpose(jax.lax.optimization_barrier(rows))  # (16, C)
+    return _world_from_frame_ch(params, aux, g)
+
+
+def world_gaussians_pack2(
+    params: GaussianParams,
+    aux: GaussianAux,
+    face_pack: jnp.ndarray,      # (F, 16) deformed face frames
+    neutral_pack: jnp.ndarray,   # (F, 16) neutral face frames
+) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
+    """Deformed AND neutral world gaussians from ONE fused row gather.
+
+    The two packs share the binding index list, and a (C, 32) row gather —
+    plus its sort/cumsum segment-sum adjoint — tiles exactly like a (C, 16)
+    one on the 128-lane layout (minor dims 16 and 32 both pad to 128), so
+    fusing halves the gather_pack_rows cost that dominates the world_pack
+    VJP and the relative-deformation regularizer."""
+    from cap4d_tpu.avatar.binding import gather_pack_rows
+
+    both = jnp.concatenate([face_pack, neutral_pack], axis=1)   # (F, 32)
+    rows = gather_pack_rows(both, aux.binding, aux.active,
+                            aux.binding_counter, face_pack.shape[0])
+    g = jnp.transpose(jax.lax.optimization_barrier(rows))       # (32, C)
+    return (_world_from_frame_ch(params, aux, g[:16]),
+            _world_from_frame_ch(params, aux, g[16:]))
+
+
+def _world_from_frame_ch(params: GaussianParams, aux: GaussianAux,
+                         g: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """(16, C) gathered face-frame channels → world gaussian dict. Shared
+    subexpressions across two calls (xyz/rotation transposes) are CSE'd by
+    XLA, so the fused pack2 path pays the frame math twice but the
+    param-side relayouts once."""
+    from cap4d_tpu.avatar.binding import unpack_face_frame
+
     f = unpack_face_frame(g)
     a0, a1, a2, s = f["a0"], f["a1"], f["a2"], f["scale"]
 

@@ -532,7 +532,14 @@ class AvatarTrainer:
             with jax.named_scope("flame_mesh"):
                 mesh = variant.mesh_props(deform_net, dp, bank, t, offset)
             with jax.named_scope("world_pack"):
-                world = G.world_gaussians_pack(gp, aux, mesh.face_pack)
+                if opt["lambda_relative_deform"] != 0:
+                    # the regularizer needs neutral world positions too —
+                    # one fused (C, 32) row gather covers both packs
+                    world, neutral_world = G.world_gaussians_pack2(
+                        gp, aux, mesh.face_pack, mesh.neutral_pack)
+                else:
+                    world = G.world_gaussians_pack(gp, aux, mesh.face_pack)
+                    neutral_world = None
             m2d_zero = trainable["m2d"]
             with jax.named_scope("raster"):
                 if backend == "pallas":  # channel path: no minor-dim-3/4 arrays
@@ -585,9 +592,8 @@ class AvatarTrainer:
                 if opt["lambda_laplacian"] != 0:
                     losses["lap"] = laplacian_loss(mesh.deform_output) * opt["lambda_laplacian"]
                 if opt["lambda_relative_deform"] != 0:
-                    neutral = G.world_gaussians_pack(gp, aux, mesh.neutral_pack)
                     losses["deform"] = relative_deformation_loss_ch(
-                        world["means3d_ch"], neutral["means3d_ch"],
+                        world["means3d_ch"], neutral_world["means3d_ch"],
                         active=aux.active,
                         n_active=aux.n_active) * opt["lambda_relative_deform"]
                 if opt["lambda_relative_rot"] != 0:
